@@ -1,0 +1,56 @@
+"""The flagship distributed operator: pages -> extraction results.
+
+One wide stage: scan -> salted shuffle -> mapInPandas(golden extraction over
+Arrow batches) -> native select. The UDF streams (iterator of batches, never
+materializes a partition) and the per-document parse loop runs inside each
+Arrow batch — no per-row Python UDFs anywhere (north star).
+
+Byte-identity: this operator calls golden.extract_page — the same pure
+function pytest runs sequentially driver-side — so the distributed result is
+bytewise identical per url by construction; tests assert it stays that way
+across partition counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .. import golden
+from ..plans.skew import salted_repartition
+
+RESULTS_SCHEMA = (
+    "url string, title string, byline string, pub_date string, "
+    "body_text string, title_conf double, byline_conf double, "
+    "date_conf double, body_conf double, overall_confidence double, "
+    "status string, error_message string, n_nodes int, n_blocks_kept int, "
+    "n_blocks_dropped int, parse_failures int, body_span_start long, "
+    "body_span_len long, part_id int"
+)
+
+RESULT_COLUMNS = [f.split()[0] for f in RESULTS_SCHEMA.split(", ")]
+
+
+def extract_pages(pages: DataFrame, *, num_partitions: int | None = None,
+                  salted: bool = True) -> DataFrame:
+    """pages(url, warc_ts, html, ...) -> results (FIXTURES.md §5 schema
+    + part_id for lineage)."""
+    import pandas as pd  # noqa: PLC0415 — ships to workers
+
+    if num_partitions is None:
+        num_partitions = pages.sparkSession.sparkContext.defaultParallelism
+    df = pages.select("url", "html")
+    if salted:
+        df = salted_repartition(df, num_partitions)
+
+    def run(batches):
+        from pyspark import TaskContext  # noqa: PLC0415
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in batches:
+            rows = [golden.extract_page(u, h)
+                    for u, h in zip(pdf["url"], pdf["html"])]
+            out = pd.DataFrame(rows, columns=golden.RESULT_FIELDS)
+            out["part_id"] = pid
+            yield out
+
+    return df.mapInPandas(run, schema=RESULTS_SCHEMA)

@@ -1,0 +1,127 @@
+"""Unit tests for the pure-Python golden extraction core.
+
+Shapes mirror the reference's inline suites (extractor.py:756-906 scenario
+fixtures, validator.py:746-798, normalizer.py:630-696), retargeted to HTML."""
+
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark import (
+    datagen,
+    golden,
+)
+
+ARTICLE = b"""<!DOCTYPE html><html lang="en"><head>
+<meta charset="utf-8"><title>My Headline | Site</title>
+<meta property="og:title" content="My Headline">
+<meta name="author" content="Jane Doe">
+</head><body>
+<nav><a href="/a">Home</a><a href="/b">News</a></nav>
+<article><h1>My Headline</h1>
+<div class="byline">By Jane Doe &mdash; <time datetime="2024-03-05">March 5, 2024</time></div>
+<p>This is the first paragraph of the article body with enough characters.</p>
+<p>Second paragraph, also long enough to be kept by the density classifier.</p>
+</article>
+<footer><a href="/about">About us</a> copyright</footer>
+</body></html>"""
+
+
+def test_article_fields():
+    r = golden.extract_page("u", ARTICLE)
+    assert r["status"] == "success"
+    assert r["title"] == "My Headline"          # og:title wins (0.95)
+    assert r["byline"] == "Jane Doe"
+    assert r["pub_date"] == "2024-03-05"
+    assert r["body_text"] == (
+        "This is the first paragraph of the article body with enough characters.\n"
+        "Second paragraph, also long enough to be kept by the density classifier."
+    )
+    assert r["title_conf"] == 0.95
+    assert 0.30 <= r["overall_confidence"] <= 0.98
+
+
+def test_candidate_ranking_tie_break():
+    # first-wins ties: Python-max semantics (ref extractor.py:310-312)
+    c = [
+        {"value": "a", "score": 0.9, "cand_idx": 0},
+        {"value": "b", "score": 0.9, "cand_idx": 1},
+    ]
+    assert golden.pick_best(c)["value"] == "a"
+    assert golden.pick_best([]) is None
+
+
+def test_boilerplate_and_link_density_dropped():
+    html = (
+        b"<html><body><div class='sidebar'><p>Long sidebar paragraph that is "
+        b"definitely long enough to pass length checks.</p></div>"
+        b"<p><a href='/x'>link text link text link text link text</a> y</p>"
+        b"<p>Real content paragraph with plenty of characters to keep.</p>"
+        b"</body></html>"
+    )
+    r = golden.extract_page("u", html)
+    assert r["body_text"] == "Real content paragraph with plenty of characters to keep."
+    assert r["n_blocks_dropped"] >= 2
+
+
+def test_failed_rows_not_exceptions():
+    assert golden.extract_page("u", b"")["error_message"] == "empty"
+    assert golden.extract_page("u", None)["status"] == "failed"
+    big = golden.extract_page("u", b"x" * (golden.MAX_HTML_BYTES + 1))
+    assert big["error_message"] == "oversize"
+    # tag soup never raises
+    soup = golden.extract_page("u", b"<p>abc <div></p></span><b>unclosed")
+    assert soup["status"] == "success"
+
+
+def test_date_validation_ranges():
+    assert golden._parse_date_any("1989-05-05") is None   # year < 1990 (P7)
+    assert golden._parse_date_any("2024-13-05") is None
+    assert golden._parse_date_any("March 5, 2024") == "2024-03-05"
+    assert golden._parse_date_any("on 2024-03-05 we") == "2024-03-05"
+
+
+def test_byline_validity_predicates():
+    # ref dealer-name rules: len>=3, not all-lower, digit-ratio <= 0.3
+    assert not golden._valid_byline("ab")
+    assert not golden._valid_byline("jane doe")
+    assert not golden._valid_byline("A1234567")
+    assert golden._valid_byline("Jane Doe")
+
+
+def test_overall_confidence_weights_present_only():
+    # only title present: weighted mean over present fields = that conf
+    assert golden.overall_confidence({"title": 0.9}) == 0.9
+    both = golden.overall_confidence({"title": 0.9, "body": 0.5})
+    assert both == round((0.25 * 0.9 + 0.45 * 0.5) / 0.70, 4)
+    assert golden.overall_confidence({}) == 0.0
+
+
+def test_conf_clipping():
+    assert golden.clip_conf(0.1) == 0.30
+    assert golden.clip_conf(0.995) == 0.98
+
+
+def test_pdf_roundtrip():
+    pdf = datagen.render_pdf(3, "alpha beta (gamma) \\ delta " * 10)
+    r = golden.extract_page("u", pdf)
+    assert r["status"] == "success"
+    assert r["title"].startswith("Doc 3: alpha beta (gamma)")
+    assert "(gamma)" in r["body_text"]
+    assert "\\" in r["body_text"]
+
+
+def test_tokenizer_node_stream_shape():
+    p = golden.tokenize_html(golden.decode_html(ARTICLE))
+    idx = [n["node_idx"] for n in p.nodes]
+    assert idx == sorted(idx)
+    offs = [n["char_off"] for n in p.nodes]
+    assert offs == sorted(offs)  # document order
+    tags = {n["tag"] for n in p.nodes}
+    assert "p" in tags and "h1" in tags
+    for n in p.nodes:
+        assert n["n_chars"] == len(n["text"])
+
+
+def test_charset_decode_rules():
+    assert golden.decode_html("héllo".encode("utf-8")) == "héllo"
+    latin = b'<meta charset="iso-8859-1">h\xe9llo'
+    assert "héllo" in golden.decode_html(latin)
+    # invalid utf-8 never raises
+    golden.decode_html(b"\xff\xfe<p>x</p>")
