@@ -1,0 +1,143 @@
+"""Scalar text functions (SURVEY §2.7) — native expressions wherever Spark
+has the primitive; tiny Arrow UDFs only for NFKC and token-sort ratio.
+
+Reference parity:
+  - PII redaction chains            (P2,  normalizer.py:117-127, 210-231)
+  - numeric-context OCR correction  (P9,  normalizer.py:70-76, 579-596)
+  - unit conversions                (F5,  extractor.py:446-448, 505-516)
+  - string similarity               (F11, evaluate.py:208-231)
+  - NFKC + noise strip              (F12, normalizer.py:148-151, 179, 189)
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# P2 — PII redaction: chained regexp_replace, fully native
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\+?\d[\d\s()-]{8,}\d", "[PHONE]"),
+    (r"\b[A-Z]{5}\d{4}[A-Z]\b", "[PAN]"),
+    (r"\b\d{4}\s?\d{4}\s?\d{4}\b", "[ID]"),
+    (r"\b\d{2}[A-Z]{5}\d{4}[A-Z][A-Z\d]Z[A-Z\d]\b", "[GST]"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    out = col
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# P9 — numeric-context character correction (O->0, l/I->1, S->5, Z->2),
+# applied only when the string is digit-like — translate guarded by rlike
+# ---------------------------------------------------------------------------
+
+def fix_numeric_confusables(col: Column) -> Column:
+    digitish = col.rlike(r"^[0-9OolIS Z.,%-]+$")
+    return F.when(digitish, F.translate(col, "OolISZ", "001152")).otherwise(col)
+
+
+# ---------------------------------------------------------------------------
+# F5 — unit conversions via literal multiplier maps
+# ---------------------------------------------------------------------------
+
+UNIT_MULTIPLIERS = {"k": 1_000.0, "lakh": 100_000.0, "m": 1_000_000.0,
+                    "crore": 10_000_000.0}
+KW_TO_HP = 1.34  # extractor.py:446-448
+
+
+def scale_by_unit(value: Column, unit: Column) -> Column:
+    m = F.create_map(*[F.lit(x) for kv in UNIT_MULTIPLIERS.items() for x in kv])
+    return value * F.coalesce(F.element_at(m, F.lower(unit)), F.lit(1.0))
+
+
+# ---------------------------------------------------------------------------
+# F11 — string similarity, native: levenshtein ratio + token-set Jaccard
+# ---------------------------------------------------------------------------
+
+def levenshtein_ratio(a: Column, b: Column) -> Column:
+    return F.round(
+        1.0 - F.levenshtein(a, b)
+        / F.greatest(F.length(a), F.length(b), F.lit(1)),
+        4,
+    )
+
+
+def token_jaccard(a: Column, b: Column) -> Column:
+    ta = F.array_distinct(F.split(F.lower(F.trim(a)), r"\s+"))
+    tb = F.array_distinct(F.split(F.lower(F.trim(b)), r"\s+"))
+    return F.round(
+        F.size(F.array_intersect(ta, tb))
+        / F.greatest(F.size(F.array_union(ta, tb)), F.lit(1)),
+        4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-sort ratio (ref thefuzz usage, extractor.py:295-307) — pure-Python
+# inside an Arrow batch; used only for the small fuzzy master-data join (J2)
+# ---------------------------------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def token_sort_ratio_py(a: str, b: str) -> float:
+    """token_sort_ratio: sort tokens, compare with Levenshtein ratio —
+    the reference's fuzzy-match metric in ~15 lines (SURVEY §7.0)."""
+    sa = " ".join(sorted((a or "").lower().split()))
+    sb = " ".join(sorted((b or "").lower().split()))
+    denom = max(len(sa), len(sb), 1)
+    return round(1.0 - _lev(sa, sb) / denom, 4)
+
+
+@F.pandas_udf(T.DoubleType())
+def token_sort_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([token_sort_ratio_py(x, y) for x, y in zip(a, b)])
+
+
+# ---------------------------------------------------------------------------
+# F12 — NFKC normalization (no native Spark equivalent) + noise strip
+# ---------------------------------------------------------------------------
+
+_NOISE = str.maketrans("", "", "|_~^")
+
+
+@F.pandas_udf(T.StringType())
+def nfkc_normalize(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda x: unicodedata.normalize("NFKC", x).translate(_NOISE)
+        if x is not None else None
+    )
+
+
+def nfkc_normalize_py(x: str) -> str:
+    return unicodedata.normalize("NFKC", x).translate(_NOISE)
+
+
+# sanity: the UDF and the pure fn must agree (used by tests)
+_SELFTEST = re.compile(r"\s+")

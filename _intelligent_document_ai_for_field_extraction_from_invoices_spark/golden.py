@@ -24,7 +24,17 @@ Everything here must stay deterministic: fixed tie-breaks, fixed rounding
 from __future__ import annotations
 
 import re
+from decimal import ROUND_HALF_UP, Decimal
 from html.parser import HTMLParser
+
+
+def round4(x: float, nd: int = 4) -> float:
+    """Round half-away-from-zero on the shortest decimal representation —
+    matches Spark's F.round (Java BigDecimal HALF_UP), NOT Python's banker's
+    round(). Scores feed keep/argmax decisions, so golden and the native
+    relational twin must round identically."""
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 # ---------------------------------------------------------------------------
 # Constants (all thresholds fixed; mirror reference semantics cited above)
@@ -355,7 +365,7 @@ def block_score(tag: str, n_chars: int, n_link_chars: int) -> float:
     base = _TAG_BASE_SCORE.get(tag, 0.5)
     link_density = n_link_chars / n_chars if n_chars > 0 else 1.0
     length_factor = min(1.0, n_chars / 80.0)
-    return round(base * (1.0 - link_density) * length_factor, 4)
+    return round4(base * (1.0 - link_density) * length_factor)
 
 
 def keep_for_body(node: dict) -> bool:
@@ -435,7 +445,7 @@ def extract_candidates(parsed) -> dict[str, list[dict]]:
         cands[field].append(
             {
                 "value": value,
-                "score": round(score, 4),
+                "score": round4(score),
                 "source": source,
                 "node_idx": node_idx,
                 "cand_idx": len(cands[field]),
@@ -471,7 +481,7 @@ def extract_candidates(parsed) -> dict[str, list[dict]]:
         if m and _valid_byline(m.group(1)):
             score = 0.7
             if n["node_idx"] < 5:  # position boost (extractor.py:315)
-                score = round(score * 1.12, 4)
+                score = round4(score * 1.12)
             add("byline", m.group(1), score, "by_pattern", n["node_idx"])
 
     # ---- pub_date (ref HP extractors F3 -> dates) ----
@@ -505,7 +515,7 @@ def pick_best(cands: list[dict]) -> dict | None:
 
 
 def clip_conf(c: float) -> float:
-    return round(min(max(c, CONF_MIN), CONF_MAX), 4)
+    return round4(min(max(c, CONF_MIN), CONF_MAX))
 
 
 def overall_confidence(fields: dict[str, float | None]) -> float:
@@ -517,7 +527,7 @@ def overall_confidence(fields: dict[str, float | None]) -> float:
         if c is not None:
             num += w * c
             den += w
-    return round(num / den, 4) if den > 0 else 0.0
+    return round4(num / den) if den > 0 else 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -534,7 +544,7 @@ def assemble_body(nodes: list[dict]) -> tuple[str, int, int, float, int, int]:
         return "", -1, 0, 0.0, 0, dropped
     body = "\n".join(n["text"] for n in kept)
     scores = [block_score(n["tag"], n["n_chars"], n["n_link_chars"]) for n in kept]
-    conf = round(sum(scores) / len(scores), 4)
+    conf = round4(sum(scores) / len(scores))
     return body, kept[0]["char_off"], len(body), conf, len(kept), dropped
 
 

@@ -93,16 +93,22 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
 
 def minhash_signatures(df: DataFrame, key: str = "doc_id",
                        text_col: str = "text",
-                       num_perms: int = MINHASH_PERMS) -> DataFrame:
-    """MinHash signature per doc: min over tokens of xxhash64(token, seed_p)
-    for each of `num_perms` seeded permutations — all native exprs.
+                       num_perms: int = MINHASH_PERMS,
+                       shingle_n: int = 3) -> DataFrame:
+    """MinHash signature per doc: min over n-word shingles of
+    xxhash64(shingle, seed_p) for each of `num_perms` seeded permutations —
+    all native exprs. Shingles (not unigrams) are the hashed features:
+    unigram sets over a small vocabulary are near-identical across documents,
+    which would collapse every LSH bucket into one giant skew bucket.
 
-    Plan shape: explode distinct tokens -> posexplode seeds -> groupBy
+    Plan shape: explode distinct shingles -> posexplode seeds -> groupBy
     (key, perm) min -> pivot-free collect via sort+collect_list."""
-    toks = df.select(
+    toks = df.filter(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= shingle_n
+    ).select(
         F.col(key).alias("k"),
         F.explode(
-            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+            F.array_distinct(_shingles(text_col, shingle_n))
         ).alias("tok"),
     )
     perms = F.array(*[F.lit(i) for i in range(num_perms)])
@@ -127,9 +133,12 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id",
 def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
                       text_col: str = "text", bands: int = LSH_BANDS,
                       num_perms: int = MINHASH_PERMS,
-                      min_est_jaccard: float = 0.5) -> DataFrame:
+                      min_est_jaccard: float = 0.5,
+                      max_bucket: int = 256) -> DataFrame:
     """Banded LSH over MinHash signatures: docs colliding in any band become
-    candidate pairs; estimated Jaccard = fraction of matching signature slots."""
+    candidate pairs; estimated Jaccard = fraction of matching signature slots.
+    Buckets larger than `max_bucket` are dropped before the self-join — the
+    skew guard that bounds worst-case pair blowup at scale."""
     rows = num_perms // bands
     sigs = minhash_signatures(df, key, text_col, num_perms)
     banded = sigs.select(
@@ -147,6 +156,9 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
             )
         ).alias("band", "bucket"),
     )
+    banded = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

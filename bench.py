@@ -1,0 +1,107 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship metric is the full extraction pipeline (pages synthesised from
+the documents table -> salted shuffle -> Arrow-batched golden extraction ->
+results), reported both as wall seconds and extracted-text bytes/sec
+(the BASELINE.json north metric). Run bench/scaling.py for the N-vs-4N
+throughput scaling evidence."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark import (  # noqa: E402
+    contract,
+    datagen,
+)
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators.extract import (  # noqa: E402
+    extract_pages,
+)
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q_order_line_argmax",
+    "q_session_counts",
+    "q_event_type_summary",
+    "q_exact_dedup",
+    "q_ngram_jaccard_pairs",
+    "q_minhash_lsh_pairs",
+    "q_simhash_near_dups",
+    "q_quality_scores",
+    "q_knn_cosine_vec0",
+    "q_ivf_ann_vec1",
+]
+
+
+def time_action(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", cores=cpus)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    timings: dict[str, float] = {}
+
+    # flagship: full extraction pipeline, counting extracted bytes
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = datagen.pages_from_documents(docs).cache()
+    n_pages = pages.count()  # materialize the corpus outside the timed window
+
+    stats = {}
+
+    def flagship():
+        res = extract_pages(pages)
+        row = res.agg(
+            F.count("*").alias("rows"),
+            F.sum(F.length("body_text")).alias("bytes_out"),
+        ).first()
+        stats["rows"], stats["bytes_out"] = row[0], row[1]
+
+    timings["extract_flagship"] = time_action(flagship)
+    pages.unpersist()
+
+    for name in BENCH_QUERIES:
+        q = contract.QUERIES[name]
+        timings[name] = time_action(
+            lambda q=q: q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        )
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pages": n_pages,
+        "extracted_bytes": stats.get("bytes_out", 0),
+        "extract_bytes_per_sec": round(
+            (stats.get("bytes_out") or 0) / max(timings["extract_flagship"], 1e-9)
+        ),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""N-vs-4N scaling benchmark driver.
+
+1. zips the engine package into dist/engine.zip
+2. spark-submit --py-files dist/engine.zip bench/scaling_job.py at local[8]
+   and local[32] on the same input
+3. reports throughput at both + scaling efficiency = T(4N) figures:
+      efficiency = throughput(32) / (4 * throughput(8))
+4. appends the measured table to BENCH.md
+
+Usage: python bench/scaling.py [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "_intelligent_document_ai_for_field_extraction_from_invoices_spark"
+
+
+def build_zip() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, "engine.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg_dir = os.path.join(REPO, PKG)
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def run_at(cores: int, zpath: str, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+        "--conf", "spark.sql.shuffle.partitions=" + str(max(cores, 8)),
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=256",
+        "--conf", "spark.python.worker.reuse=true",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--py-files", zpath,
+        os.path.join(REPO, "bench", "scaling_job.py"),
+    ]
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=1800, check=False)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and "wall_sec" in line:
+            return json.loads(line)
+    sys.stderr.write(out.stdout[-4000:] + "\n" + out.stderr[-4000:])
+    raise RuntimeError(f"no result line from local[{cores}] run")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--small", type=int, default=8)
+    ap.add_argument("--large", type=int, default=32)
+    args = ap.parse_args()
+
+    zpath = build_zip()
+    r_small = run_at(args.small, zpath, args.sf_dir)
+    r_large = run_at(args.large, zpath, args.sf_dir)
+
+    tp_s = r_small["bytes_per_sec"]
+    tp_l = r_large["bytes_per_sec"]
+    factor = args.large / args.small
+    eff = tp_l / (factor * tp_s)
+    result = {
+        "sf_dir": args.sf_dir,
+        "small": r_small,
+        "large": r_large,
+        "scaling_factor": factor,
+        "efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result, indent=2))
+
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    lines = [
+        "",
+        f"## Scaling run {stamp} — `{args.sf_dir}`",
+        "",
+        "| cores | wall sec | pages/sec | extracted bytes/sec | bytes/sec per core |",
+        "|---|---|---|---|---|",
+        (f"| {r_small['cores']} | {r_small['wall_sec']} | {r_small['pages_per_sec']}"
+         f" | {tp_s:,} | {round(tp_s / r_small['cores']):,} |"),
+        (f"| {r_large['cores']} | {r_large['wall_sec']} | {r_large['pages_per_sec']}"
+         f" | {tp_l:,} | {round(tp_l / r_large['cores']):,} |"),
+        "",
+        (f"**Scaling efficiency (N={args.small} -> {args.large}):"
+         f" {eff:.3f}** (target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'}). "
+         f"Submitted via `spark-submit --py-files dist/engine.zip`."),
+    ]
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()
