@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import datagen
+from .functions import text as textfn
 from .operators import dedup, sessionize, similarity, textstats
 from .operators.extract import extract_pages
 
@@ -339,6 +340,24 @@ def q_simhash_near_dups(spark, sf_dir):  # rows-only (engine-internal hashes)
 # ---------------------------------------------------------------------------
 
 
+def q_pii_redaction(spark, sf_dir):
+    """P2 PII-redaction chain (ref normalizer.py:117-127) — chained
+    regexp_replace, fully native."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textfn.redact_pii(F.col("text")).alias("redacted")
+    )
+
+
+def q_stream_hourly_counts(spark, sf_dir):
+    """Structured Streaming variant of q_hourly_event_counts (engine
+    extension; the reference has no streaming operators, SURVEY §2.9)."""
+    from .streaming.stream import hourly_event_counts_stream  # noqa: PLC0415
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return hourly_event_counts_stream(spark, sf_dir)
+
+
 def q_knn_cosine_vec0(spark, sf_dir):
     return similarity.cosine_knn(_t(spark, sf_dir, "embeddings"), 0, k=10)
 
@@ -523,6 +542,20 @@ ORACLES: dict[str, str] = {
         FROM p
         JOIN t ta ON ta.doc_id = doc_a
         JOIN t tb ON tb.doc_id = doc_b""",
+    "q_pii_redaction": """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\\b\\d{2}[A-Z]{5}\\d{4}[A-Z][A-Z\\d]Z[A-Z\\d]\\b', '[GST]', 'g'),
+                   '\\b[A-Z]{5}\\d{4}[A-Z]\\b', '[PAN]', 'g'),
+                   '\\b\\d{4}\\s\\d{4}\\s\\d{4}\\b', '[ID]', 'g'),
+                   '\\+?\\d[\\d\\s()-]{8,}\\d', '[PHONE]', 'g') AS redacted
+        FROM documents""",
+    "q_stream_hourly_counts": """
+        SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour,
+               count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1""",
     "q_knn_cosine_vec0": """
         SELECT e.vec_id,
                round(list_cosine_similarity(e.embedding::DOUBLE[],
@@ -594,6 +627,8 @@ QUERIES = {
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,   # rows-only
     "q_simhash_near_dups": q_simhash_near_dups,   # rows-only
+    "q_pii_redaction": q_pii_redaction,
+    "q_stream_hourly_counts": q_stream_hourly_counts,
     "q_knn_cosine_vec0": q_knn_cosine_vec0,
     "q_label_centroid_norms": q_label_centroid_norms,
     "q_ivf_ann_vec1": q_ivf_ann_vec1,

@@ -23,12 +23,12 @@ from pyspark.sql import types as T
 # P2 — PII redaction: chained regexp_replace, fully native
 # ---------------------------------------------------------------------------
 
-PII_PATTERNS = [
+PII_PATTERNS = [  # specific before generic: the phone regex is greedy
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    (r"\+?\d[\d\s()-]{8,}\d", "[PHONE]"),
-    (r"\b[A-Z]{5}\d{4}[A-Z]\b", "[PAN]"),
-    (r"\b\d{4}\s?\d{4}\s?\d{4}\b", "[ID]"),
     (r"\b\d{2}[A-Z]{5}\d{4}[A-Z][A-Z\d]Z[A-Z\d]\b", "[GST]"),
+    (r"\b[A-Z]{5}\d{4}[A-Z]\b", "[PAN]"),
+    (r"\b\d{4}\s\d{4}\s\d{4}\b", "[ID]"),
+    (r"\+?\d[\d\s()-]{8,}\d", "[PHONE]"),
 ]
 
 
