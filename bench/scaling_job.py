@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeat = int(os.environ.get("SCALING_REPEAT", "2"))
+    replicate = int(os.environ.get("SCALING_REPLICATE", "32"))
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     cores = spark.sparkContext.defaultParallelism
@@ -36,6 +37,18 @@ def main() -> None:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # deterministic corpus amplification: the sf0.1 corpus alone finishes in
+    # ~2 s, where task/scheduler overhead dominates and no parallelism level
+    # can show scaling. Replicating doc_ids into disjoint ranges keeps every
+    # flavor/oracle rule intact while giving each core real work.
+    if replicate > 1:
+        reps = spark.range(replicate).select(
+            (F.col("id") * 10_000_000).alias("doc_off"))
+        docs = (
+            docs.crossJoin(reps)
+            .withColumn("doc_id", F.col("doc_id") + F.col("doc_off"))
+            .drop("doc_off")
+        )
     pages = datagen.pages_from_documents(docs).cache()
     n_pages = pages.count()  # corpus materialized before the timed window
     bytes_in = pages.agg(F.sum(F.length("html"))).first()[0]

