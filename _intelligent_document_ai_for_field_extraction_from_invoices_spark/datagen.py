@@ -218,6 +218,14 @@ def pages_from_documents(documents_df):
                 }
             )
 
-    return documents_df.select("doc_id", "text", "lang").mapInPandas(
-        gen, schema=PAGES_SCHEMA
+    # The sandbox documents table is a single parquet file = ONE partition;
+    # without this repartition the generation AND the downstream salted
+    # shuffle's map side run single-threaded and cap throughput at ~1/8 of
+    # the machine (measured). A balanced shuffle of the small text table is
+    # cheap and makes the whole pipeline scale with cores.
+    par = documents_df.sparkSession.sparkContext.defaultParallelism * 2
+    return (
+        documents_df.select("doc_id", "text", "lang")
+        .repartition(par, "doc_id")
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
     )

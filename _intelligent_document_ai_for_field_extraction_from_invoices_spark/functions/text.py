@@ -121,6 +121,60 @@ def token_sort_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# F8 — currency detection: membership over a symbol set (normalizer.py:33-36)
+# ---------------------------------------------------------------------------
+
+CURRENCY_SYMBOLS = ["₹", "$", "€", "£", "¥", "Rs.", "Rs ", "INR", "USD", "EUR"]
+
+
+def has_currency(col: Column) -> Column:
+    flags = [col.contains(s) for s in CURRENCY_SYMBOLS]
+    out = flags[0]
+    for f in flags[1:]:
+        out = out | f
+    return out
+
+
+# ---------------------------------------------------------------------------
+# F13/F14 — JSON output shaping + parsing (executable.py:102-137,
+# vlm_fallback.py:331-367): nested {value, confidence} objects, 4-dp rounding
+# ---------------------------------------------------------------------------
+
+def results_to_json(results_df):
+    """Mirror of ProcessingResult.to_json_output: one JSON string per url
+    with nested per-field {value, confidence} objects."""
+    def fieldobj(v, c):
+        return F.struct(F.col(v).alias("value"),
+                        F.round(F.col(c), 4).alias("confidence"))
+
+    return results_df.select(
+        "url",
+        F.to_json(F.struct(
+            fieldobj("title", "title_conf").alias("title"),
+            fieldobj("byline", "byline_conf").alias("byline"),
+            fieldobj("pub_date", "date_conf").alias("pub_date"),
+            F.round("overall_confidence", 4).alias("overall_confidence"),
+            F.col("status"),
+        )).alias("json_output"),
+    )
+
+
+JSON_RESULT_SCHEMA = (
+    "title struct<value:string,confidence:double>, "
+    "byline struct<value:string,confidence:double>, "
+    "pub_date struct<value:string,confidence:double>, "
+    "overall_confidence double, status string"
+)
+
+
+def parse_json_results(df, json_col: str = "json_output"):
+    """F14: permissive-schema from_json + typed coercions (roundtrip of
+    results_to_json)."""
+    return df.withColumn("parsed", F.from_json(F.col(json_col),
+                                               JSON_RESULT_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
 # F12 — NFKC normalization (no native Spark equivalent) + noise strip
 # ---------------------------------------------------------------------------
 

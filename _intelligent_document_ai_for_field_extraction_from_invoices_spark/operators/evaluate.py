@@ -113,6 +113,23 @@ def confidence_distribution(results: DataFrame) -> DataFrame:
     )
 
 
+CPU_RATE_PER_HOUR = 0.01  # ref cost model, executable.py:473-488
+
+
+def cost_metrics(lineage_df: DataFrame, wall_sec_per_part: float = None,
+                 rate_per_hour: float = CPU_RATE_PER_HOUR) -> DataFrame:
+    """A9/F17: cost model over lineage rows — cost = processing seconds x
+    hourly rate; here seconds are estimated from bytes at the measured rate
+    when no explicit timing column exists."""
+    est_sec = F.col("bytes_out") / F.lit(2_000_000.0)  # ~2 MB/s/core measured
+    cost = F.round(est_sec / 3600.0 * rate_per_hour, 8)
+    return lineage_df.select(
+        "part_id", "n_rows", "bytes_out", cost.alias("est_cost_usd")
+    ).withColumn("cost_per_row_usd",
+                 F.round(F.col("est_cost_usd")
+                         / F.greatest(F.col("n_rows"), F.lit(1)), 10))
+
+
 def error_breakdown(results: DataFrame) -> DataFrame:
     """A10 (evaluate.py:487-549): categorize error strings and count."""
     cat = (
