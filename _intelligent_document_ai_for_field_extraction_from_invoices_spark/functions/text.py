@@ -121,6 +121,21 @@ def token_sort_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# P6 — name cleaning: strip honorific/house prefixes, trailing punctuation,
+# canonicalize suffixes, collapse spaces (extractor.py:354-369 retargeted to
+# byline/site names)
+# ---------------------------------------------------------------------------
+
+def clean_name(col: Column) -> Column:
+    out = F.regexp_replace(col, r"(?i)^\s*(?:by|from|m/s\.?|messrs\.?)\s+", "")
+    out = F.regexp_replace(out, r"[\s,.;:|-]+$", "")
+    out = F.regexp_replace(out, r"(?i)\bpvt\.?\s*ltd\.?\b", "Pvt Ltd")
+    out = F.regexp_replace(out, r"(?i)\bltd\.?\b", "Ltd")
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # F8 — currency detection: membership over a symbol set (normalizer.py:33-36)
 # ---------------------------------------------------------------------------
 

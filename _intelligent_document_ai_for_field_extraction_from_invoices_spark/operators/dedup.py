@@ -58,7 +58,9 @@ def shingle_pairs(df: DataFrame, key: str = "doc_id", text_col: str = "text",
     capped = ex.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("sh"))
     )
-    capped = capped.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    # cache: the frame feeds both sides of the self-join — without it the
+    # whole shingle/explode pipeline is recomputed per side
+    capped = capped.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n").cache()
     a = capped.alias("a")
     b = capped.alias("b")
     return (
@@ -158,7 +160,9 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
     )
     banded = banded.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    ).filter(F.col("bucket_n") <= max_bucket).drop("bucket_n").cache()
+    # cached: both self-join sides would otherwise recompute the full
+    # signature pipeline (explode x perms + min-agg) from scratch
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -186,17 +190,22 @@ def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (md5-derived token hashes —
     deterministic, library-free). Arrow-batched; the token loop is the
     batched inner loop, no per-row Python UDF."""
+    import numpy as np  # noqa: PLC0415
+
+    shifts = np.arange(64, dtype=np.uint64)
     out = []
     for t in texts:
-        votes = [0] * 64
-        for tok in set((t or "").split()):
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            for bit in range(64):
-                votes[bit] += 1 if (h >> bit) & 1 else -1
-        v = 0
-        for bit in range(64):
-            if votes[bit] > 0:
-                v |= 1 << bit
+        toks = set((t or "").split())
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.frombuffer(
+            b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
+            dtype=">u8",
+        ).astype(np.uint64)
+        bits = (hs[:, None] >> shifts) & np.uint64(1)   # (n_tok, 64)
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        v = int(((votes > 0).astype(np.uint64) << shifts).sum())
         # two's complement into signed 64-bit
         out.append(v - (1 << 64) if v >= (1 << 63) else v)
     return pd.Series(out, dtype="int64")

@@ -36,6 +36,17 @@ def test_unit_scaling(spark):
     assert _one(spark, tf.scale_by_unit(F.lit(2.0), F.lit("unknown"))) == 2.0
 
 
+def test_clean_name(spark):
+    cases = {
+        "M/s Acme Traders,": "Acme Traders",
+        "by John Smith ;": "John Smith",
+        "Acme pvt. ltd.": "Acme Pvt Ltd",
+        "  Widgets   LTD  ": "Widgets Ltd",
+    }
+    for raw, want in cases.items():
+        assert _one(spark, tf.clean_name(F.lit(raw))) == want
+
+
 def test_similarity_columns(spark):
     r = _one(spark, tf.levenshtein_ratio(F.lit("kitten"), F.lit("sitting")))
     assert r == round(1 - 3 / 7, 4)

@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for the golden extraction core —
+the fuzzing the reference never had (SURVEY §5.1: no property tests there).
+
+Key invariants: the tokenizer/extractor NEVER raises on arbitrary bytes
+(failure containment, executable.py:383-407), node accounting is consistent,
+rounding matches Spark semantics, similarity metrics are well-behaved."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark import golden
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark.functions.text import (
+    token_sort_ratio_py,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_extract_page_never_raises(data):
+    r = golden.extract_page("u", data)
+    assert r["status"] in ("success", "failed")
+    assert isinstance(r["body_text"], str)
+    if r["body_text"]:
+        assert r["n_blocks_kept"] > 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=string.printable + "é中ह", max_size=2048))
+def test_tokenizer_invariants(doc):
+    p = golden.tokenize_html(doc)
+    offs = [n["char_off"] for n in p.nodes]
+    assert offs == sorted(offs)
+    for n in p.nodes:
+        assert n["n_chars"] == len(n["text"]) > 0
+        assert n["text"] == " ".join(n["text"].split())  # normalized
+        assert 0 <= n["n_link_chars"]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(min_value=0, max_value=1, allow_nan=False))
+def test_round4_matches_spark_half_up(x):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    got = golden.round4(x)
+    exp = float(Decimal(repr(x)).quantize(Decimal("0.0001"),
+                                          rounding=ROUND_HALF_UP))
+    assert got == exp
+    assert abs(got - x) <= 0.00005 + 1e-12
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=string.ascii_letters + " ", max_size=60),
+       st.text(alphabet=string.ascii_letters + " ", max_size=60))
+def test_token_sort_ratio_properties(a, b):
+    r = token_sort_ratio_py(a, b)
+    assert 0.0 <= r <= 1.0
+    assert r == token_sort_ratio_py(b, a)  # symmetric
+    assert token_sort_ratio_py(a, a) == 1.0
+    # token-order invariance
+    assert token_sort_ratio_py("x y z", "z y x") == 1.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from(["p", "div", "li", "nav", "footer"]),
+                min_size=1, max_size=12),
+       st.integers(min_value=0, max_value=6))
+def test_body_assembly_separator_discipline(tags, seed):
+    html = "".join(
+        f"<{t}>chunk {i} with enough deterministic characters to keep</{t}>"
+        for i, t in enumerate(tags)
+    ).encode()
+    r = golden.extract_page("u", html)
+    body = r["body_text"]
+    assert not body.startswith("\n") and not body.endswith("\n")
+    assert "\n\n" not in body
+    if body:
+        assert r["body_span_len"] == len(body)
