@@ -293,6 +293,16 @@ def q_doc_stats_by_lang(spark, sf_dir):
     )
 
 
+def q_doc_cube(spark, sf_dir):
+    """CUBE rollup over (lang, source) — SURVEY §2.4's optional grouping-sets
+    extension; NULL marks the rolled-up dimension in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
 def q_token_stats(spark, sf_dir):
     d = textstats.with_token_stats(_t(spark, sf_dir, "documents"))
     return d.select(
@@ -458,6 +468,10 @@ ORACLES: dict[str, str] = {
                round(avg(n_chars), 4) AS avg_chars,
                min(n_chars) AS min_chars, max(n_chars) AS max_chars
         FROM documents GROUP BY lang""",
+    "q_doc_cube": """
+        SELECT lang, source, count(*)::BIGINT AS n,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY CUBE (lang, source)""",
     "q_token_stats": """
         SELECT doc_id,
                len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
@@ -619,6 +633,7 @@ QUERIES = {
     "q_event_error_buckets": q_event_error_buckets,
     "q_conf_tier_counts": q_conf_tier_counts,
     "q_doc_stats_by_lang": q_doc_stats_by_lang,
+    "q_doc_cube": q_doc_cube,
     "q_token_stats": q_token_stats,
     "q_quality_scores": q_quality_scores,
     "q_script_langid": q_script_langid,

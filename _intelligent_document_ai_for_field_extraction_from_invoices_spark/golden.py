@@ -187,10 +187,13 @@ class _Tokenizer(HTMLParser):
 
     def __init__(self, doc: str):
         super().__init__(convert_charrefs=True)
+        # C-speed newline scan (a per-char Python loop was 8% of extraction)
         self._line_starts = [0]
-        for i, ch in enumerate(doc):
-            if ch == "\n":
-                self._line_starts.append(i + 1)
+        find = doc.find
+        i = find("\n")
+        while i != -1:
+            self._line_starts.append(i + 1)
+            i = find("\n", i + 1)
         self.nodes: list[dict] = []
         self.title_parts: list[str] = []
         self.metas: list[tuple[str, str]] = []
