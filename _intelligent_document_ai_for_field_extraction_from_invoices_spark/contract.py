@@ -267,6 +267,31 @@ def q_event_error_buckets(spark, sf_dir):
     )
 
 
+def q_props_json(spark, sf_dir):
+    """F14 JSON parsing over the events props column: typed extraction +
+    aggregation (get_json_object stays JVM-side)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_top_terms(spark, sf_dir):
+    """Corpus term frequencies: explode tokens -> hash agg -> top 20
+    (the TakeOrderedAndProject top-k path at explode scale)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_conf_tier_counts(spark, sf_dir):
     """Confidence-tier bucketing (ref executable.py:170-172: >=.85 high,
     .65-.85 medium, <.65 low) over event values scaled to [0,1]."""
@@ -457,6 +482,17 @@ ORACLES: dict[str, str] = {
                     ELSE 'engagement' END AS category,
                count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1""",
+    "q_props_json": """
+        SELECT event_type,
+               round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
+               max(json_extract_string(props, '$.k')::BIGINT) AS max_k,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY event_type""",
+    "q_top_terms": """
+        SELECT term, count(*)::BIGINT AS n
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+              FROM documents)
+        GROUP BY term ORDER BY n DESC, term LIMIT 20""",
     "q_conf_tier_counts": """
         SELECT CASE WHEN value / 200.0 >= 0.85 THEN 'high'
                     WHEN value / 200.0 >= 0.65 THEN 'medium'
@@ -632,6 +668,8 @@ QUERIES = {
     "q_best_event_per_user": q_best_event_per_user,
     "q_event_error_buckets": q_event_error_buckets,
     "q_conf_tier_counts": q_conf_tier_counts,
+    "q_props_json": q_props_json,
+    "q_top_terms": q_top_terms,
     "q_doc_stats_by_lang": q_doc_stats_by_lang,
     "q_doc_cube": q_doc_cube,
     "q_token_stats": q_token_stats,

@@ -78,7 +78,7 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
     toks = df.select(
         F.col(key).alias("k"),
         F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")).alias("toks"),
-    )
+    ).cache()  # joined twice (doc_a and doc_b sides)
     j = (
         pairs.join(toks.withColumnRenamed("k", "doc_a")
                    .withColumnRenamed("toks", "toks_a"), "doc_a")
