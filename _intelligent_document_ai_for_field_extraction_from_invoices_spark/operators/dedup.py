@@ -103,8 +103,10 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id",
     unigram sets over a small vocabulary are near-identical across documents,
     which would collapse every LSH bucket into one giant skew bucket.
 
-    Plan shape: explode distinct shingles -> posexplode seeds -> groupBy
-    (key, perm) min -> pivot-free collect via sort+collect_list."""
+    Plan shape: explode distinct shingles -> one min-aggregate per
+    permutation. The per-perm aggregates combine map-side (partial agg), so
+    the shuffle carries num_perms values per DOC — a posexplode formulation
+    would shuffle num_perms hashed rows per SHINGLE, ~16x the data."""
     toks = df.filter(
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= shingle_n
     ).select(
@@ -113,22 +115,13 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id",
             F.array_distinct(_shingles(text_col, shingle_n))
         ).alias("tok"),
     )
-    perms = F.array(*[F.lit(i) for i in range(num_perms)])
-    hashed = toks.select(
-        "k",
-        F.posexplode(F.transform(
-            perms, lambda p: F.xxhash64(F.col("tok"), p)
-        )).alias("perm", "h"),
-    )
-    return (
-        hashed.groupBy("k", "perm")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("k")
-        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("sig_s"))
-        .select(
-            F.col("k").alias(key),
-            F.transform("sig_s", lambda s: s["mh"]).alias("signature"),
-        )
+    mins = toks.groupBy("k").agg(*[
+        F.min(F.xxhash64(F.col("tok"), F.lit(p))).alias(f"mh{p}")
+        for p in range(num_perms)
+    ])
+    return mins.select(
+        F.col("k").alias(key),
+        F.array(*[F.col(f"mh{p}") for p in range(num_perms)]).alias("signature"),
     )
 
 
