@@ -70,6 +70,18 @@ def test_failed_rows_not_exceptions():
     assert soup["status"] == "success"
 
 
+def test_fallback_body_tier():
+    # too short for the density tier (>=20 chars) but the tier-2 fallback
+    # (>=10 chars, non-boiler) recovers it at discounted confidence
+    html = b"<html><body><p>short body txt</p><nav><a href='/'>Home page link</a></nav></body></html>"
+    r = golden.extract_page("u", html)
+    assert r["body_text"] == "short body txt"
+    assert r["body_conf"] == golden.FALLBACK_BODY_CONF
+    # nothing at all -> empty body, no fallback rows
+    r2 = golden.extract_page("u", b"<html><body><p>tiny</p></body></html>")
+    assert r2["body_text"] == ""
+
+
 def test_date_validation_ranges():
     assert golden._parse_date_any("1989-05-05") is None   # year < 1990 (P7)
     assert golden._parse_date_any("2024-13-05") is None
