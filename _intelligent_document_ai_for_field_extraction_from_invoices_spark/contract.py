@@ -405,6 +405,13 @@ def q_ivf_ann_vec1(spark, sf_dir):
     return similarity.ivf_ann_query(_t(spark, sf_dir, "embeddings"), 1, k=5)
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (IVF-bucketed self-join). Threshold
+    0.80 so the synthetic clusters yield a non-trivial pair set."""
+    return similarity.cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.40)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect-safe ANSI; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -619,6 +626,33 @@ ORACLES: dict[str, str] = {
                round(avg(sqrt(list_dot_product(embedding::DOUBLE[],
                                                embedding::DOUBLE[]))), 4) AS avg_norm
         FROM embeddings GROUP BY label""",
+    "q_embedding_near_dups": """
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8
+        ), scored AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.cvec::DOUBLE[]), 6) AS sim
+          FROM embeddings e, cents c
+        ), assign AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        ), tagged AS (
+          SELECT e.vec_id, e.embedding, a.centroid_id
+          FROM embeddings e JOIN assign a USING (vec_id)
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM tagged a JOIN tagged b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 6) >= 0.40""",
     "q_ivf_ann_vec1": """
         WITH cents AS (
           SELECT vec_id AS centroid_id, embedding AS cvec
@@ -685,4 +719,5 @@ QUERIES = {
     "q_knn_cosine_vec0": q_knn_cosine_vec0,
     "q_label_centroid_norms": q_label_centroid_norms,
     "q_ivf_ann_vec1": q_ivf_ann_vec1,
+    "q_embedding_near_dups": q_embedding_near_dups,
 }

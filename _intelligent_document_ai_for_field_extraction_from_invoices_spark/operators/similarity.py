@@ -85,6 +85,33 @@ def ivf_assign(emb: DataFrame, num_centroids: int = 8, key: str = "vec_id",
     )
 
 
+def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                          num_centroids: int = 8, key: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, IVF-bucketed: vectors are
+    assigned to their nearest centroid once, and only same-bucket pairs are
+    scored — the self-join touches ~1/C^2 of the full cross product per
+    bucket (the scale path; brute-force all-pairs is quadratic in rows).
+    Near-dups straddling a bucket boundary are missed, as in any
+    single-probe IVF — raise num_probes/overlap in a later round if recall
+    matters more than cost."""
+    assign = ivf_assign(emb, num_centroids, key, vec_col)
+    tagged = emb.select(key, vec_col).join(assign.select(key, "centroid_id"), key)
+    a = tagged.select(F.col(key).alias("vec_a"),
+                      F.col(vec_col).alias("va"), "centroid_id")
+    b = tagged.select(F.col(key).alias("vec_b"),
+                      F.col(vec_col).alias("vb"), "centroid_id")
+    return (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_ann_query(emb: DataFrame, query_vec_id: int, k: int = 5,
                   num_centroids: int = 8, key: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
