@@ -29,7 +29,9 @@ from .operators.extract import extract_pages
 # helpers
 # ---------------------------------------------------------------------------
 
-_RESULTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+# keyed by the session object itself (not id(): a GC'd session's id can be
+# reused, which would hand a stale cached plan to a new session)
+_RESULTS_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,7 +43,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def extraction_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run (and cache) the full extraction pipeline over pages derived from
     the documents table; exposes doc_id parsed back from the url."""
-    key = (id(spark), sf_dir)
+    key = (spark, sf_dir)
     if key not in _RESULTS_CACHE:
         docs = _t(spark, sf_dir, "documents")
         pages = datagen.pages_from_documents(docs)

@@ -66,6 +66,21 @@ def test_resume_after_partial_run(spark, pages, tmp_path):
     assert lin.agg(F.sum("n_rows")).first()[0] == len(full)
 
 
+def test_pages_through_catalog_roundtrip(spark, pages, tmp_path):
+    """The production shape: pages land in the Iceberg-style table first,
+    extraction reads the committed snapshot (S1/S6)."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators.extract import (
+        extract_pages,
+    )
+
+    cat = Catalog(str(tmp_path))
+    cat.overwrite("pages", pages)
+    stored = cat.read(spark, "pages")
+    assert stored.count() == pages.count()
+    res = extract_pages(stored, num_partitions=4)
+    assert res.filter("status = 'success'").count() > 0
+
+
 def test_lineage_metrics_shape(spark, pages, tmp_path):
     cat = Catalog(str(tmp_path))
     lineage.run_extraction(spark, pages, cat, "r", num_partitions=4)
