@@ -294,6 +294,29 @@ def q_top_terms(spark, sf_dir):
     )
 
 
+def q_distinct_users(spark, sf_dir):
+    """Exact distinct aggregation (expand+two-phase agg under the hood)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_event_pivot(spark, sf_dir):
+    """Pivot: one row per user bucket, one count column per event type
+    (fixed column list so the shape is plan-time static)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+        .groupBy("user_bucket")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+    )
+
+
 def q_conf_tier_counts(spark, sf_dir):
     """Confidence-tier bucketing (ref executable.py:170-172: >=.85 high,
     .65-.85 medium, <.65 low) over event values scaled to [0,1]."""
@@ -502,6 +525,18 @@ ORACLES: dict[str, str] = {
         FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
               FROM documents)
         GROUP BY term ORDER BY n DESC, term LIMIT 20""",
+    "q_distinct_users": """
+        SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY event_type""",
+    "q_event_pivot": """
+        SELECT (user_id % 10)::BIGINT AS user_bucket,
+               count(*) FILTER (event_type = 'click')::BIGINT AS click,
+               count(*) FILTER (event_type = 'view')::BIGINT AS view,
+               count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+               count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+               count(*) FILTER (event_type = 'error')::BIGINT AS error
+        FROM events GROUP BY 1""",
     "q_conf_tier_counts": """
         SELECT CASE WHEN value / 200.0 >= 0.85 THEN 'high'
                     WHEN value / 200.0 >= 0.65 THEN 'medium'
@@ -704,6 +739,8 @@ QUERIES = {
     "q_best_event_per_user": q_best_event_per_user,
     "q_event_error_buckets": q_event_error_buckets,
     "q_conf_tier_counts": q_conf_tier_counts,
+    "q_distinct_users": q_distinct_users,
+    "q_event_pivot": q_event_pivot,
     "q_props_json": q_props_json,
     "q_top_terms": q_top_terms,
     "q_doc_stats_by_lang": q_doc_stats_by_lang,
