@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "q_quality_scores",
     "q_knn_cosine_vec0",
     "q_ivf_ann_vec1",
+    "q_embedding_near_dups",
+    "q_top_terms",
+    "q_distinct_users",
 ]
 
 
