@@ -24,7 +24,7 @@ RESULTS_SCHEMA = (
     "date_conf double, body_conf double, overall_confidence double, "
     "status string, error_message string, n_nodes int, n_blocks_kept int, "
     "n_blocks_dropped int, parse_failures int, body_span_start long, "
-    "body_span_len long, part_id int"
+    "body_span_len long, n_html_bytes long, part_id int"
 )
 
 RESULT_COLUMNS = [f.split()[0] for f in RESULTS_SCHEMA.split(", ")]
@@ -55,6 +55,9 @@ def extract_pages(pages: DataFrame, *, num_partitions: int | None = None,
             rows = [golden.extract_page(u, h)
                     for u, h in zip(pdf["url"], pdf["html"])]
             out = pd.DataFrame(rows, columns=golden.RESULT_FIELDS)
+            out["n_html_bytes"] = [
+                len(h) if h is not None else 0 for h in pdf["html"]
+            ]
             out["part_id"] = pid
             for c, _ in passthrough:
                 out[c] = pdf[c].to_numpy()

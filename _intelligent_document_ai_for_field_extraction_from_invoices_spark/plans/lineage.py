@@ -42,6 +42,7 @@ def lineage_rows(results: DataFrame, run_id: str) -> DataFrame:
     return results.groupBy("part_id").agg(
         F.lit(run_id).alias("run_id"),
         F.count("*").alias("n_rows"),
+        F.sum("n_html_bytes").alias("bytes_in"),
         F.sum(F.length(F.col("body_text"))).alias("bytes_out"),
         F.sum("n_blocks_kept").alias("blocks_kept"),
         F.sum("n_blocks_dropped").alias("blocks_dropped"),

@@ -85,8 +85,9 @@ def test_lineage_metrics_shape(spark, pages, tmp_path):
     cat = Catalog(str(tmp_path))
     lineage.run_extraction(spark, pages, cat, "r", num_partitions=4)
     lin = cat.read(spark, lineage.LINEAGE_TABLE)
-    assert set(lin.columns) >= {"run_id", "part_id", "n_rows", "bytes_out",
-                                "blocks_kept", "blocks_dropped",
+    assert set(lin.columns) >= {"run_id", "part_id", "n_rows", "bytes_in",
+                                "bytes_out", "blocks_kept", "blocks_dropped",
                                 "parse_failures", "n_failed", "committed_at"}
+    assert lin.agg(F.sum("bytes_in")).first()[0] > 0
     agg = lin.agg(F.sum("blocks_kept"), F.sum("n_failed")).first()
     assert agg[0] > 0 and agg[1] > 0  # empty-flavor pages land as failed rows
