@@ -49,9 +49,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeat = int(os.environ.get("SCALING_REPEAT", "3"))
     replicate = int(os.environ.get("SCALING_REPLICATE", "48"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pages_dir = os.environ.get(
         "SCALING_PAGES_DIR",
-        f"/tmp/scaling_pages_{os.path.basename(sf_dir.rstrip('/'))}_x{replicate}",
+        os.path.join(repo, ".scaling_pages",
+                     f"{os.path.basename(sf_dir.rstrip('/'))}_x{replicate}"),
     )
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
