@@ -80,6 +80,18 @@ def test_confidence_distribution_and_errors(spark, results):
     assert errs["none"] > 0
 
 
+def test_eval_markdown_report(spark, results, golden_table):
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.reporting import (
+        render_eval_report,
+    )
+
+    ok = results.filter(F.col("status") == "success")
+    md = render_eval_report(ok, golden_table)
+    assert "body byte-match rate: 100.00%" in md
+    assert "| title |" in md and "| pub_date |" in md
+    assert "## Errors" in md
+
+
 def test_fuzzy_site_match(spark, results):
     m = master.default_site_master(spark)
     named = results.filter(F.col("status") == "success").withColumn(
