@@ -42,7 +42,13 @@ def stage_pages(spark, sf_dir: str, replicate: int, path: str):
             .withColumn("doc_id", F.col("doc_id") + F.col("doc_off"))
             .drop("doc_off")
         )
-    datagen.pages_from_documents(docs).write.mode("overwrite").parquet(path)
+    # fixed file count, independent of the staging session's core count:
+    # a table staged by a local[2] run would otherwise have ~4 single-row-
+    # group files, silently capping every later reader at 4-way parallelism
+    # (observed: the 8-core run processed 4 physical partitions of 60k rows)
+    (datagen.pages_from_documents(docs)
+     .repartition(64)
+     .write.mode("overwrite").parquet(path))
 
 
 def main() -> None:
