@@ -10,9 +10,9 @@ from the `documents` table by pure doc_id arithmetic (datagen.py); their
 oracles recompute the expected field values directly from `documents` using
 the mirrored arithmetic — an independent end-to-end check on the extractor.
 
-MinHash/SimHash queries use engine-internal hashes (xxhash64/md5-derived) that
-DuckDB cannot reproduce — they ship without oracles (rows-only check), as the
-contract allows for non-SQL-expressible ops.
+MinHash/SimHash hashes are md5-derived (operators/dedup.py), so even those
+pipelines are reproduced end-to-end in ANSI SQL — their oracles are generated
+programmatically below (`_minhash_oracle_sql` / `_simhash_oracle_sql`).
 """
 
 from __future__ import annotations
@@ -386,12 +386,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_pairs(d, pairs)
 
 
-def q_minhash_lsh_pairs(spark, sf_dir):  # rows-only (engine-internal hashes)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    # hash_fn="md5" (default): oracle-reproducible permutation hashes
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
                                    min_est_jaccard=0.25)
 
 
-def q_simhash_near_dups(spark, sf_dir):  # rows-only (engine-internal hashes)
+def q_simhash_near_dups(spark, sf_dir):
     return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"))
 
 
@@ -440,6 +441,109 @@ def q_embedding_near_dups(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect-safe ANSI; tables pre-registered as views)
 # ---------------------------------------------------------------------------
+
+
+def _minhash_oracle_sql(num_perms: int = dedup.MINHASH_PERMS,
+                        bands: int = dedup.LSH_BANDS,
+                        max_bucket: int = 256,
+                        min_est_jaccard: float = 0.25) -> str:
+    """ANSI-SQL twin of dedup.minhash_lsh_pairs(hash_fn="md5"): 3-word
+    shingle md5 digests -> per-permutation min of md5(digest || ',' || p) ->
+    banded buckets (md5 of the comma-joined band slice) -> capped self-join
+    -> distinct pairs with est_jaccard = matching slots / num_perms."""
+    rows = num_perms // bands
+    mins = ",\n                 ".join(
+        f"min(md5(sh || ',{p}')) AS mh{p}" for p in range(num_perms))
+    band_rows = "\n          UNION ALL\n          ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bucket, [{sig}] AS sig FROM mh"
+        .format(
+            b=b,
+            cat=" || ',' || ".join(f"mh{rows * b + r}" for r in range(rows)),
+            sig=",".join(f"mh{p}" for p in range(num_perms)),
+        )
+        for b in range(bands))
+    match = " + ".join(
+        f"(CASE WHEN a.sig[{i}] = b.sig[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, num_perms + 1))
+    return f"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(len(ws) - 2),
+                        i -> md5(array_to_string(ws[(i+1):(i+3)], ' '))))) AS sh
+          FROM w WHERE len(ws) >= 3
+        ), mh AS (
+          SELECT doc_id, {mins}
+          FROM s GROUP BY doc_id
+        ), banded AS (
+          {band_rows}
+        ), cnt AS (
+          SELECT band, bucket, count(*) AS c FROM banded GROUP BY 1, 2
+        ), capped AS (
+          SELECT b.* FROM banded b JOIN cnt USING (band, bucket)
+          WHERE c <= {max_bucket}
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(({match}) / {num_perms}.0, 4) AS est_jaccard
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, est_jaccard FROM pairs
+        WHERE est_jaccard >= {min_est_jaccard}"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 8, max_bucket: int = 1024) -> str:
+    """ANSI-SQL twin of dedup.simhash_near_dups: token hash = first 16 hex
+    chars of md5(token) big-endian; bit b of the doc simhash is the majority
+    vote over distinct tokens; 4x16-bit banded self-join, hamming verify."""
+    nibs = ",\n                 ".join(
+        f"strpos('0123456789abcdef', substr(h,{k},1))-1 AS n{k}"
+        for k in range(1, 17))
+    sums = ",\n                 ".join(
+        f"sum((n{(63 - b) // 4 + 1} >> {b % 4}) & 1) AS s{b}"
+        for b in range(64))
+    terms = "\n                  + ".join(
+        f"(CASE WHEN 2*s{b}>cnt THEN (1::BIGINT<<{b}) ELSE 0 END)"
+        for b in range(63))
+    terms += ("\n                  + (CASE WHEN 2*s63>cnt"
+              " THEN (-9223372036854775807 - 1) ELSE 0::BIGINT END)")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+          FROM documents
+        ), tk AS (
+          SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''
+        ), nib AS (
+          SELECT doc_id, {nibs}
+          FROM tk
+        ), agg AS (
+          SELECT doc_id, count(*) AS cnt,
+                 {sums}
+          FROM nib GROUP BY doc_id
+        ), sig0 AS (
+          SELECT doc_id, ({terms}) AS sh FROM agg
+        ), sigs AS (
+          SELECT d.doc_id, coalesce(s.sh, 0)::BIGINT AS sh
+          FROM documents d LEFT JOIN sig0 s USING (doc_id)
+        ), banded AS (
+          SELECT doc_id, sh, band, (sh >> (16*band)) & 65535 AS bkey
+          FROM sigs, (SELECT unnest(range(4)) AS band)
+        ), cnt AS (
+          SELECT band, bkey, count(*) AS c FROM banded GROUP BY 1, 2
+        ), capped AS (
+          SELECT b.* FROM banded b JOIN cnt USING (band, bkey)
+          WHERE c <= {max_bucket}
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.sh, b.sh))::INT AS hamming
+          FROM capped a JOIN capped b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
+
 
 ORACLES: dict[str, str] = {
     **_EXTRACT_ORACLES,
@@ -636,6 +740,8 @@ ORACLES: dict[str, str] = {
         FROM p
         JOIN t ta ON ta.doc_id = doc_a
         JOIN t tb ON tb.doc_id = doc_b""",
+    "q_minhash_lsh_pairs": _minhash_oracle_sql(),
+    "q_simhash_near_dups": _simhash_oracle_sql(),
     "q_pii_redaction": """
         SELECT doc_id,
                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -751,8 +857,8 @@ QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_fingerprints": q_fingerprints,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,   # rows-only
-    "q_simhash_near_dups": q_simhash_near_dups,   # rows-only
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_simhash_near_dups": q_simhash_near_dups,
     "q_pii_redaction": q_pii_redaction,
     "q_stream_hourly_counts": q_stream_hourly_counts,
     "q_knn_cosine_vec0": q_knn_cosine_vec0,

@@ -2,25 +2,46 @@
 
 - exact:   hash-groupBy (one shuffle on the digest, partial agg map-side)
 - n-gram:  shingle inverted index -> candidate pairs -> token Jaccard
-- MinHash: k independent xxhash64 permutations -> banded LSH bucket join
-- SimHash: 64-bit sign-aggregated token hashes (Arrow-batched UDF)
+- MinHash: k seeded permutations (md5- or xxhash64-derived) -> banded LSH
+- SimHash: 64-bit sign-aggregated token hashes — fully native exprs
+  (explode tokens -> 64 conditional sums; no Python in the hot path)
 
 All shuffle keys are digests (uniform — no skew); small sides broadcast.
 At 100 TB the shingle index is the big shuffle: keys are md5 digests so the
 hash partitioning is balanced by construction, and frequent-shingle hubs are
-capped (`max_bucket`) exactly like LSH implementations cap hot buckets."""
+capped (`max_bucket`) exactly like LSH implementations cap hot buckets.
+
+The cap itself is skew-safe: over-cap keys are found with a map-side-combined
+``groupBy().count()`` and removed via a broadcast anti-join — never with an
+unordered Window, which would buffer every row of the hottest key in one task
+(the exact straggler/OOM the cap exists to prevent)."""
 
 from __future__ import annotations
 
-import hashlib
-
-import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 MINHASH_PERMS = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
+
+_HEX = "0123456789abcdef"
+
+
+def _cap_hot_keys(df: DataFrame, key_cols: list[str],
+                  max_bucket: int) -> DataFrame:
+    """Drop all rows whose key appears more than `max_bucket` times.
+
+    Scale-safe plan: `groupBy(keys).count()` combines map-side, so the
+    shuffle carries one row per distinct key; the (tiny) over-cap key set is
+    broadcast back as a LEFT ANTI join. Equivalent result to filtering on
+    `count() OVER (PARTITION BY keys)`, but no single-task buffering of the
+    hottest key."""
+    hot = (
+        df.groupBy(*key_cols).count()
+        .filter(F.col("count") > max_bucket)
+        .select(*key_cols)
+    )
+    return df.join(F.broadcast(hot), key_cols, "left_anti")
 
 
 def exact_dedup_groups(df: DataFrame, key: str = "doc_id",
@@ -55,12 +76,9 @@ def shingle_pairs(df: DataFrame, key: str = "doc_id", text_col: str = "text",
         .select(F.col(key).alias("k"),
                 F.explode(F.array_distinct(_shingles(text_col, n))).alias("sh"))
     )
-    capped = ex.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("sh"))
-    )
     # cache: the frame feeds both sides of the self-join — without it the
     # whole shingle/explode pipeline is recomputed per side
-    capped = capped.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n").cache()
+    capped = _cap_hot_keys(ex, ["sh"], max_bucket).cache()
     a = capped.alias("a")
     b = capped.alias("b")
     return (
@@ -93,12 +111,30 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
     )
 
 
+def _perm_hash(tok, p: int, hash_fn: str):
+    """Seeded permutation hash of a shingle digest.
+
+    - "md5": lowercase-hex md5 of "<digest>,<seed>" — byte-identical in any
+      engine with md5 (the DuckDB oracle reproduces it), min taken over the
+      hex STRING (uniform permutation; string min == numeric min of the
+      128-bit value).
+    - "xxhash64": Spark-native seeded 64-bit hash — cheapest at scale
+      (signature slots are 8-byte longs, ~4x less shuffle than hex strings)
+      but engine-internal, so not oracle-reproducible."""
+    if hash_fn == "md5":
+        return F.md5(F.concat_ws(",", tok, F.lit(str(p))))
+    if hash_fn == "xxhash64":
+        return F.xxhash64(tok, F.lit(p))
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def minhash_signatures(df: DataFrame, key: str = "doc_id",
                        text_col: str = "text",
                        num_perms: int = MINHASH_PERMS,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       hash_fn: str = "md5") -> DataFrame:
     """MinHash signature per doc: min over n-word shingles of
-    xxhash64(shingle, seed_p) for each of `num_perms` seeded permutations —
+    perm_hash(shingle, seed_p) for each of `num_perms` seeded permutations —
     all native exprs. Shingles (not unigrams) are the hashed features:
     unigram sets over a small vocabulary are near-identical across documents,
     which would collapse every LSH bucket into one giant skew bucket.
@@ -116,7 +152,7 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id",
         ).alias("tok"),
     )
     mins = toks.groupBy("k").agg(*[
-        F.min(F.xxhash64(F.col("tok"), F.lit(p))).alias(f"mh{p}")
+        F.min(_perm_hash(F.col("tok"), p, hash_fn)).alias(f"mh{p}")
         for p in range(num_perms)
     ])
     return mins.select(
@@ -129,13 +165,15 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
                       text_col: str = "text", bands: int = LSH_BANDS,
                       num_perms: int = MINHASH_PERMS,
                       min_est_jaccard: float = 0.5,
-                      max_bucket: int = 256) -> DataFrame:
+                      max_bucket: int = 256,
+                      hash_fn: str = "md5") -> DataFrame:
     """Banded LSH over MinHash signatures: docs colliding in any band become
     candidate pairs; estimated Jaccard = fraction of matching signature slots.
     Buckets larger than `max_bucket` are dropped before the self-join — the
-    skew guard that bounds worst-case pair blowup at scale."""
+    skew guard that bounds worst-case pair blowup at scale (groupBy count +
+    broadcast anti-join; see `_cap_hot_keys`)."""
     rows = num_perms // bands
-    sigs = minhash_signatures(df, key, text_col, num_perms)
+    sigs = minhash_signatures(df, key, text_col, num_perms, hash_fn=hash_fn)
     banded = sigs.select(
         F.col(key).alias("k"),
         "signature",
@@ -151,11 +189,9 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
             )
         ).alias("band", "bucket"),
     )
-    banded = banded.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("bucket_n") <= max_bucket).drop("bucket_n").cache()
     # cached: both self-join sides would otherwise recompute the full
     # signature pipeline (explode x perms + min-agg) from scratch
+    banded = _cap_hot_keys(banded, ["band", "bucket"], max_bucket).cache()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -175,41 +211,73 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
     ).filter(F.col("est_jaccard") >= min_est_jaccard)
 
 
-_SIMHASH_SCHEMA = T.LongType()
+def simhash_signatures(df: DataFrame, key: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc, fully native (whole-stage codegen end to end).
 
+    Token hash = first 16 hex chars of md5(token) read big-endian (hex char
+    1 = bits 63..60 ... char 16 = bits 3..0). Per doc, bit b of the simhash
+    is 1 iff the majority of distinct tokens have bit b set (sign of the
+    summed +/-1 votes; ties -> 0, matching the classic formulation).
 
-@F.pandas_udf(_SIMHASH_SCHEMA)
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (md5-derived token hashes —
-    deterministic, library-free). Arrow-batched; the token loop is the
-    batched inner loop, no per-row Python UDF."""
-    import numpy as np  # noqa: PLC0415
+    Plan: explode distinct tokens -> 16 nibble ints via conv(hex char) ->
+    64 conditional-sum aggregates + a count per doc. The sums combine
+    map-side, so the shuffle carries 65 longs per DOC, not per token. Docs
+    with no tokens get simhash 0. Oracle-reproducible: md5 + integer bit
+    ops exist verbatim in ANSI-ish SQL (see contract.py)."""
+    toks = df.select(
+        F.col(key).alias("k"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.md5(F.col("tok"))
+    nibs = [
+        F.conv(F.substring(h, k, 1), 16, 10).cast("long").alias(f"n{k}")
+        for k in range(1, 17)
+    ]
+    nt = toks.select("k", *nibs)
 
-    shifts = np.arange(64, dtype=np.uint64)
-    out = []
-    for t in texts:
-        toks = set((t or "").split())
-        if not toks:
-            out.append(0)
-            continue
-        hs = np.frombuffer(
-            b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
-            dtype=">u8",
-        ).astype(np.uint64)
-        bits = (hs[:, None] >> shifts) & np.uint64(1)   # (n_tok, 64)
-        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        v = int(((votes > 0).astype(np.uint64) << shifts).sum())
-        # two's complement into signed 64-bit
-        out.append(v - (1 << 64) if v >= (1 << 63) else v)
-    return pd.Series(out, dtype="int64")
+    def bit(b: int):
+        # hex char position holding bit b (char 1 = most-significant nibble)
+        k = (63 - b) // 4 + 1
+        return F.shiftright(F.col(f"n{k}"), b % 4).bitwiseAND(F.lit(1))
+
+    agg = nt.groupBy("k").agg(
+        F.count("*").alias("cnt"),
+        *[F.sum(bit(b)).alias(f"s{b}") for b in range(64)],
+    )
+    # bit b set iff votes = 2*s_b - cnt > 0; bit 63 is the sign bit
+    terms = [
+        F.when(F.col(f"s{b}") * 2 > F.col("cnt"), F.lit(1 << b))
+        .otherwise(F.lit(0)).cast("long")
+        for b in range(63)
+    ]
+    terms.append(
+        F.when(F.col("s63") * 2 > F.col("cnt"),
+               F.lit(-(1 << 63))).otherwise(F.lit(0)).cast("long")
+    )
+    sig = agg.select(
+        F.col("k"),
+        sum(terms[1:], start=terms[0]).alias("sh"),
+    )
+    return (
+        df.select(F.col(key).alias("k")).join(sig, "k", "left")
+        .select(F.col("k").alias(key),
+                F.coalesce(F.col("sh"), F.lit(0)).cast("long").alias("simhash"))
+    )
 
 
 def simhash_near_dups(df: DataFrame, key: str = "doc_id",
-                      text_col: str = "text", max_hamming: int = 8) -> DataFrame:
+                      text_col: str = "text", max_hamming: int = 8,
+                      max_bucket: int = 1024) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys
     (pigeonhole: hamming<=3 guarantees a shared band; wider max_hamming is
-    best-effort as in production SimHash dedup), then verify hamming."""
-    sh = df.select(F.col(key).alias("k"), simhash64(F.col(text_col)).alias("sh"))
+    best-effort as in production SimHash dedup), then verify hamming.
+    Buckets larger than `max_bucket` are dropped before the self-join
+    (`_cap_hot_keys` — e.g. the simhash-0 bucket of empty docs)."""
+    sh = simhash_signatures(df, key, text_col).select(
+        F.col(key).alias("k"), F.col("simhash").alias("sh"))
     banded = sh.select(
         "k", "sh",
         F.posexplode(F.array(*[
@@ -217,8 +285,9 @@ def simhash_near_dups(df: DataFrame, key: str = "doc_id",
             for i in range(4)
         ])).alias("band", "bkey"),
     )
+    banded = _cap_hot_keys(banded, ["band", "bkey"], max_bucket).cache()
     a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).cast("int")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bkey") == F.col("b.bkey"))

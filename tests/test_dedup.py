@@ -1,0 +1,81 @@
+"""Functional semantics of the dedup operators (the oracle-parity test covers
+full-corpus value identity; these pin the edge cases and cap behavior)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_simhash_empty_doc_is_zero(spark):
+    d = _docs(spark, [(1, ""), (2, "   "), (3, "alpha beta gamma")])
+    out = {r.doc_id: r.simhash for r in dedup.simhash_signatures(d).collect()}
+    assert out[1] == 0
+    assert out[2] == 0
+    assert out[3] != 0
+
+
+def test_simhash_identical_docs_pair_at_hamming_zero(spark):
+    d = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different words entirely unrelated content here now"),
+    ])
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_near_dups(d).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_simhash_token_order_and_dup_invariant(spark):
+    """SimHash is over the distinct token SET — order/multiplicity free."""
+    d = _docs(spark, [
+        (1, "alpha beta gamma delta"),
+        (2, "delta gamma beta alpha alpha alpha"),
+    ])
+    out = {r.doc_id: r.simhash for r in dedup.simhash_signatures(d).collect()}
+    assert out[1] == out[2]
+
+
+def test_minhash_md5_and_xxhash64_find_same_pairs(spark):
+    """Hash choice is orthogonal to LSH semantics: both variants recover the
+    identical-document pair with est_jaccard 1.0."""
+    base = "w%d " * 30
+    rows = [
+        (1, base % tuple(range(30))),
+        (2, base % tuple(range(30))),
+        (3, base % tuple(range(100, 130))),
+    ]
+    d = _docs(spark, rows)
+    for fn in ("md5", "xxhash64"):
+        got = {(r.doc_a, r.doc_b): r.est_jaccard
+               for r in dedup.minhash_lsh_pairs(d, hash_fn=fn).collect()}
+        assert got == {(1, 2): 1.0}, fn
+
+
+def test_hot_bucket_cap_drops_mega_buckets(spark):
+    """Keys above max_bucket vanish entirely (broadcast anti-join), matching
+    the groupBy-count oracle semantics."""
+    rows = [(i, "common shingle words repeated here") for i in range(10)]
+    rows += [(100, "rare words only present once today")]
+    d = _docs(spark, rows)
+    # every 3-shingle of the common text appears 10x > cap 5 -> no pairs
+    assert dedup.shingle_pairs(d, max_bucket=5).count() == 0
+    # with a generous cap the 10 identical docs pair up fully: C(10,2)
+    assert dedup.shingle_pairs(d, max_bucket=64).count() == 45
+
+
+def test_minhash_bad_hash_fn_raises(spark):
+    d = _docs(spark, [(1, "a b c d")])
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(d, hash_fn="sha9000").collect()
+
+
+def test_exact_dedup_groups(spark):
+    d = _docs(spark, [(1, "x"), (2, "x"), (3, "y")])
+    got = {r.canonical_id: r.n_copies
+           for r in dedup.exact_dedup_groups(d).collect()}
+    assert got == {1: 2, 3: 1}

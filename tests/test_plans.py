@@ -83,3 +83,31 @@ def test_no_cartesian_in_shingle_pairs(spark):
     q = contract.q_ngram_jaccard_pairs(spark, SF_DIR)
     plan = _plan(q)
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("qname", [
+    "q_ngram_jaccard_pairs", "q_minhash_lsh_pairs", "q_simhash_near_dups",
+])
+def test_hot_bucket_cap_is_not_a_window(spark, qname):
+    """The hot-bucket skew cap must be a map-side-combined groupBy count +
+    broadcast anti-join — an unordered Window would buffer every row of the
+    hottest key in ONE task, the exact straggler/OOM the cap prevents."""
+    q = contract.QUERIES[qname](spark, SF_DIR)
+    plan = _plan(q)
+    assert "Window" not in plan
+    assert "LeftAnti" in plan
+    # the over-cap key set is broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_is_fully_native(spark):
+    """SimHash signatures must stay JVM-side (no Python UDF in the plan)."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+        dedup,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup.simhash_signatures(d))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
