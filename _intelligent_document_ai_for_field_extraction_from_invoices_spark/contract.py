@@ -30,8 +30,11 @@ from .operators.extract import extract_pages
 # ---------------------------------------------------------------------------
 
 # keyed by the session object itself (not id(): a GC'd session's id can be
-# reused, which would hand a stale cached plan to a new session)
+# reused, which would hand a stale cached plan to a new session); bounded to
+# the most recent entry so a long-lived driver can't accumulate pinned
+# sessions/plans across many (session, sf_dir) combinations
 _RESULTS_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+_RESULTS_CACHE_MAX = 2  # flagship + gate sf in one process is the usual peak
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -45,6 +48,12 @@ def extraction_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents table; exposes doc_id parsed back from the url."""
     key = (spark, sf_dir)
     if key not in _RESULTS_CACHE:
+        while len(_RESULTS_CACHE) >= _RESULTS_CACHE_MAX:
+            _, old = _RESULTS_CACHE.popitem()
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — session may already be stopped
+                pass
         docs = _t(spark, sf_dir, "documents")
         pages = datagen.pages_from_documents(docs)
         res = extract_pages(pages).withColumn(
@@ -433,7 +442,8 @@ def q_ivf_ann_vec1(spark, sf_dir):
 
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (IVF-bucketed self-join). Threshold
-    0.80 so the synthetic clusters yield a non-trivial pair set."""
+    0.40 so the synthetic clusters yield a non-trivial pair set (the oracle
+    SQL uses the same value)."""
     return similarity.cosine_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.40)
 

@@ -106,15 +106,21 @@ def _date_text(doc_id: int) -> str:
 
 
 def render_html(doc_id: int, text: str, lang: str) -> bytes:
+    # html.escape everywhere document-derived strings are interpolated: the
+    # tokenizer unescapes entities on parse, so extraction round-trips to the
+    # original text even when a corpus contains & < > " (today's synthetic
+    # corpora are markup-free, so this changes no byte of the golden outputs)
+    from html import escape  # noqa: PLC0415
+
     words = text.split()
-    title = title_for(doc_id, words)
-    author = author_for(doc_id)
-    date = date_for(doc_id)
+    title = escape(title_for(doc_id, words))
+    author = escape(author_for(doc_id))
+    date = date_for(doc_id)  # internal ISO string, never markup
     paras = chunks_for(words)
     soup = flavor_for(doc_id) == "soup"
     para_html = []
     for i, p in enumerate(paras):
-        para_html.append(f"<p>{p}</p>")
+        para_html.append(f"<p>{escape(p, quote=False)}</p>")
         if soup and i % 3 == 1:
             # mild malformations our tokenizer recovers from deterministically
             para_html.append("</div><br><hr>")

@@ -418,6 +418,11 @@ class _Tokenizer:
             self._pop_block()
         elif tag in SKIP_TAGS:
             self._skip = max(0, self._skip - 1)
+        elif tag == "a":
+            # mirror handle_endtag: a self-closed <a/> must not leave the
+            # anchor counter raised, or every later chunk counts as link
+            # chars and the density filter drops the whole remaining body
+            self._anchor = max(0, self._anchor - 1)
         elif tag == "title":
             self._title = max(0, self._title - 1)
         elif tag == "head":
@@ -508,8 +513,9 @@ def keep_for_body(node: dict) -> bool:
         # bare body text is typically chrome leftovers — still allow if long
         if node["tag"] != "body":
             return False
-    if node["tag"] in ("h1", "h2", "h3", "h4", "h5", "h6"):
-        return False
+    # NOTE: no heading check needed here — h1..h6 are not in BODY_TAGS, so
+    # they already returned False above (the native twin nodes.py mirrors
+    # exactly this shape; do not add a redundant check that could diverge)
     if node["n_chars"] < MIN_BODY_CHARS:
         return False
     if 3 * node["n_link_chars"] > MAX_LINK_DENSITY_NUM * node["n_chars"]:

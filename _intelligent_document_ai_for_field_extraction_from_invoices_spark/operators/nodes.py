@@ -49,8 +49,10 @@ def tokenize_nodes(pages: DataFrame) -> DataFrame:
                                 n["depth"], n["char_off"], n["n_chars"],
                                 n["n_link_chars"], n["class_id"], n["boiler"],
                                 n["meta_block"]))
-                for name, content in parsed.metas:
-                    out.append((url, -1, "_meta", content, 0, -1,
+                for i, (name, content) in enumerate(parsed.metas):
+                    # node_idx = occurrence order: golden._meta_get takes the
+                    # FIRST non-blank meta per key, so the stream must keep it
+                    out.append((url, i, "_meta", content, 0, -1,
                                 len(content), 0, name, False, False))
                 t = golden._norm_ws("".join(parsed.title_parts))
                 if t:
@@ -103,26 +105,46 @@ def enrich_nodes(nodes: DataFrame) -> DataFrame:
 
 def assemble_body_native(nodes: DataFrame) -> DataFrame:
     """W2 retarget: ordered collect + array_join with the exact '\\n'
-    separator discipline of golden.assemble_body."""
+    separator discipline of golden.assemble_body, INCLUDING its tier-2
+    fallback (non-boiler/non-meta/non-heading nodes >= FALLBACK_MIN_CHARS at
+    fixed conf FALLBACK_BODY_CONF when the density classifier keeps nothing).
+
+    Single-pass plan: one groupBy(url) collects the union of tier-1 and
+    tier-2 candidate nodes (bounded per page), then array filters pick the
+    tier — no second aggregation or anti-join. Urls with no candidate in
+    either tier emit no row (golden returns an empty body for those)."""
     enriched = enrich_nodes(nodes)
-    kept = enriched.filter(F.col("keep_body"))
+    fb_ok = (
+        (~F.col("boiler")) & (~F.col("meta_block"))
+        & ~F.col("tag").isin("h1", "h2", "h3", "h4", "h5", "h6")
+        & (F.col("n_chars") >= golden.FALLBACK_MIN_CHARS)
+    )
+    cand = enriched.withColumn("fb_ok", fb_ok).filter(
+        F.col("keep_body") | F.col("fb_ok"))
+    agg = cand.groupBy("url").agg(
+        F.array_sort(F.collect_list(F.struct(
+            "node_idx", "text", "score", "char_off", "keep_body", "fb_ok",
+        ))).alias("ns")
+    )
+    kept = F.filter("ns", lambda s: s["keep_body"])
+    fb = F.filter("ns", lambda s: s["fb_ok"])
+    chosen = F.when(F.size(kept) > 0, kept).otherwise(fb)
+    conf = F.when(
+        F.size(kept) > 0,
+        F.round(
+            F.aggregate(kept, F.lit(0.0), lambda a, s: a + s["score"])
+            / F.size(kept), 4),
+    ).otherwise(F.lit(golden.FALLBACK_BODY_CONF))
     return (
-        kept.groupBy("url")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("node_idx", "text"))),
-                    lambda s: s["text"],
-                ),
-                "\n",
-            ).alias("body_text"),
-            F.count("*").alias("n_blocks_kept"),
-            F.round(F.avg("score"), 4).alias("body_conf_raw"),
-            F.min(F.struct("node_idx", "char_off")).alias("_first"),
+        agg.select(
+            "url",
+            F.array_join(F.transform(chosen, lambda s: s["text"]), "\n")
+            .alias("body_text"),
+            F.size(chosen).cast("long").alias("n_blocks_kept"),
+            conf.alias("body_conf_raw"),
+            F.element_at(chosen, 1)["char_off"].alias("body_span_start"),
         )
-        .withColumn("body_span_start", F.col("_first.char_off"))
         .withColumn("body_span_len", F.length("body_text"))
-        .drop("_first")
     )
 
 
@@ -179,6 +201,25 @@ def field_candidates(nodes: DataFrame) -> DataFrame:
     times = nodes.filter(F.col("tag") == "_time")
     real = nodes.filter(_is_real_node())
 
+    def first_meta(*keys: str) -> DataFrame:
+        """golden._meta_get twin: the first NON-BLANK meta of the highest-
+        priority key present — exactly one row per url (key priority first,
+        then meta occurrence order). Validity filters apply to that one row
+        afterwards, as in golden (an invalid winner yields NO candidate, it
+        does not fall through to a lower-priority meta)."""
+        key_rank = F.coalesce(*[
+            F.when(F.col("class_id") == k, F.lit(i)) for i, k in enumerate(keys)
+        ])
+        w = Window.partitionBy("url").orderBy("key_rank", "node_idx")
+        return (
+            metas.filter(F.col("class_id").isin(*keys)
+                         & (F.trim("text") != ""))
+            .withColumn("key_rank", key_rank)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("key_rank", "_rn")
+        )
+
     def cand(df, field, value, score, source, rank, node_idx=F.lit(-1)):
         return df.select(
             "url", F.lit(field).alias("field"), value.alias("value"),
@@ -191,9 +232,9 @@ def field_candidates(nodes: DataFrame) -> DataFrame:
     valid_title = F.length(t).between(3, 300)
 
     title_cands = [
-        cand(metas.filter((F.col("class_id") == "og:title") & valid_title),
+        cand(first_meta("og:title").filter(valid_title),
              "title", t, 0.95, "meta_og", 0),
-        cand(metas.filter((F.col("class_id") == "twitter:title") & valid_title),
+        cand(first_meta("twitter:title").filter(valid_title),
              "title", t, 0.85, "meta_twitter", 1),
         cand(
             real.filter((F.col("tag") == "h1") & ~F.col("boiler")
@@ -205,9 +246,8 @@ def field_candidates(nodes: DataFrame) -> DataFrame:
         cand(titles.filter(valid_title), "title", t, 0.8, "title_tag", 3),
     ]
 
-    by_meta = metas.filter(
-        F.col("class_id").isin("author", "article:author", "parsely-author")
-        & _valid_byline_native(t)
+    by_meta = first_meta("author", "article:author", "parsely-author").filter(
+        _valid_byline_native(t)
     )
     by_rx = r"^[Bb]y[:\s]\s*([A-Z][\w.'’-]*(?:\s+[A-Z][\w.'’-]*){0,3})"
     by_text = (
@@ -228,12 +268,11 @@ def field_candidates(nodes: DataFrame) -> DataFrame:
         ),
     ]
 
-    date_meta_keys = ["article:published_time", "date", "dc.date",
-                      "datepublished", "pubdate"]
     date_cands = [
         cand(times, "pub_date", _norm_date_native(F.col("text")), 0.95,
              "time_attr", 0, F.col("node_idx")),
-        cand(metas.filter(F.col("class_id").isin(date_meta_keys)),
+        cand(first_meta("article:published_time", "date", "dc.date",
+                        "datepublished", "pubdate"),
              "pub_date", _norm_date_native(F.col("text")), 0.9, "meta_date", 1),
         cand(real.filter((F.col("node_idx") < 15) & ~F.col("boiler")),
              "pub_date", _norm_date_native(F.col("text")), 0.6, "text_date", 2,

@@ -8,7 +8,10 @@ plans/skew.py), so "which partitions are done" is stable across runs. A run:
      (the reference's resume analogue: skip already-processed documents)
   3. extracts only the remaining partitions
   4. appends results + one lineage row per partition + checkpoint rows,
-     each as an atomic snapshot commit (sources/tables.py)
+     each an atomic snapshot commit (sources/tables.py), all tagged with one
+     txn id; the checkpoint append is the transaction's commit marker, and
+     torn transactions (crash before the marker) are rolled back on the next
+     run by metadata-only file-list surgery (Catalog.remove_orphan_appends)
 
 Re-running after a crash processes only missing partitions; re-running a
 complete run is a no-op — idempotence is tested in tests/test_tables_resume.py.
@@ -17,6 +20,8 @@ ocr.py:624-639): rows, bytes in/out, blocks kept/dropped, parse failures.
 """
 
 from __future__ import annotations
+
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,11 +65,26 @@ def committed_parts(spark: SparkSession, catalog: Catalog) -> DataFrame | None:
 
 def run_extraction(spark: SparkSession, pages: DataFrame, catalog: Catalog,
                    run_id: str, num_partitions: int = 16,
-                   fail_after_parts: int | None = None) -> dict:
+                   fail_after_parts: int | None = None,
+                   fail_before_checkpoint: bool = False) -> dict:
     """One (possibly resumed) extraction run. `fail_after_parts` simulates a
-    crash after committing only a subset of partitions (for resume tests).
+    crash after committing only a subset of partitions; `fail_before_checkpoint`
+    simulates a crash BETWEEN the results/lineage appends and the checkpoint
+    commit (the torn-transaction case — for resume tests).
+
+    All three appends carry one txn tag; the checkpoint append is the commit
+    marker. On start, appends whose txn never reached the checkpoint are
+    rolled back (metadata-only file-list surgery), so a torn run can never
+    leave duplicate rows in the results table.
 
     Returns counters {parts_done, parts_skipped, rows_written}."""
+    # reconcile torn transactions from crashed runs before planning the work
+    live = catalog.txns(CHECKPOINT_TABLE) if catalog.exists(CHECKPOINT_TABLE) \
+        else set()
+    for t in (RESULTS_TABLE, LINEAGE_TABLE):
+        if catalog.exists(t):
+            catalog.remove_orphan_appends(t, live)
+
     stamped = stamp_part_id(pages, num_partitions)
     done = committed_parts(spark, catalog)
     n_total_parts = num_partitions
@@ -99,14 +119,18 @@ def run_extraction(spark: SparkSession, pages: DataFrame, catalog: Catalog,
     results = results.cache()
     rows_written = results.count()
 
-    catalog.append(RESULTS_TABLE, results)
-    catalog.append(LINEAGE_TABLE, lineage_rows(results, run_id))
+    txn = f"{run_id}:{uuid.uuid4().hex[:12]}"
+    catalog.append(RESULTS_TABLE, results, txn=txn)
+    catalog.append(LINEAGE_TABLE, lineage_rows(results, run_id), txn=txn)
+    if fail_before_checkpoint:
+        results.unpersist()
+        raise RuntimeError("simulated crash before checkpoint commit")
     ckpt = (
         results.select("part_id").distinct()
         .withColumn("run_id", F.lit(run_id))
         .withColumn("committed_at", F.current_timestamp())
     )
-    catalog.append(CHECKPOINT_TABLE, ckpt)
+    catalog.append(CHECKPOINT_TABLE, ckpt, txn=txn)
     results.unpersist()
     return {
         "parts_done": len(part_ids),

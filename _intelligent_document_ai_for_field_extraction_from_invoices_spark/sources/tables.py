@@ -50,7 +50,8 @@ class Catalog:
             return json.load(f)
 
     def _commit(self, table: str, files: list[str], operation: str,
-                parent: int | None) -> int:
+                parent: int | None, added: list[str] | None = None,
+                txn: str | None = None) -> int:
         meta = self._meta(table)
         os.makedirs(meta, exist_ok=True)
         version = (parent or 0) + 1
@@ -59,6 +60,8 @@ class Catalog:
             "parent": parent,
             "operation": operation,
             "files": sorted(files),
+            "added": sorted(added) if added is not None else None,
+            "txn": txn,
             "committed_at": time.time(),
         }
         with open(os.path.join(meta, f"v{version}.json"), "w") as f:
@@ -99,12 +102,40 @@ class Catalog:
         return self._commit(table, files, "overwrite",
                             cur["version"] if cur else None)
 
-    def append(self, table: str, df: DataFrame) -> int:
+    def append(self, table: str, df: DataFrame, txn: str | None = None) -> int:
+        """Append with an optional transaction tag. A multi-table writer tags
+        every table's append with one txn id and commits a marker table last;
+        `remove_orphan_appends` can then roll back appends whose txn never
+        reached the marker — pure metadata surgery, no data rewrite."""
         files = self._stage(table, df)
         cur = self._read_current(table)
         base = cur["files"] if cur else []
         return self._commit(table, base + files, "append",
-                            cur["version"] if cur else None)
+                            cur["version"] if cur else None,
+                            added=files, txn=txn)
+
+    def txns(self, table: str) -> set[str]:
+        """Transaction tags of all snapshots ever committed to `table`."""
+        return {s["txn"] for s in self.snapshots(table) if s.get("txn")}
+
+    def remove_orphan_appends(self, table: str, live_txns: set[str]) -> int:
+        """Drop the files added by tagged appends whose txn is not in
+        `live_txns` (i.e. the crash happened before the txn's marker commit).
+        Untagged snapshots are always kept. Returns the number of files
+        removed; commits one 'rollback' snapshot iff anything was removed."""
+        cur = self._read_current(table)
+        if cur is None:
+            return 0
+        dead: set[str] = set()
+        for s in self.snapshots(table):
+            if (s["operation"] == "append" and s.get("txn")
+                    and s["txn"] not in live_txns and s.get("added")):
+                dead.update(s["added"])
+        keep = [f for f in cur["files"] if f not in dead]
+        n_removed = len(cur["files"]) - len(keep)
+        if n_removed:
+            self._commit(table, keep, "rollback", cur["version"])
+        return n_removed
 
     def read(self, spark: SparkSession, table: str,
              version: int | None = None) -> DataFrame:

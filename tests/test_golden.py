@@ -137,3 +137,46 @@ def test_charset_decode_rules():
     assert "héllo" in golden.decode_html(latin)
     # invalid utf-8 never raises
     golden.decode_html(b"\xff\xfe<p>x</p>")
+
+
+def test_self_closing_anchor_does_not_poison_link_density():
+    """Regression: <a/> incremented _anchor without the matching decrement,
+    so every later text chunk counted as link chars, link density hit 1, and
+    the whole remaining body was silently dropped (status still success)."""
+    html = (b"<html><body>"
+            b"<p><a href='/x'/>lead-in text after a self-closed anchor</p>"
+            b"<p>This paragraph has plenty of ordinary prose characters and"
+            b" absolutely no links inside it at all, so it must be kept.</p>"
+            b"</body></html>")
+    r = golden.extract_page("u", html)
+    assert r["status"] == "success"
+    assert "must be kept" in r["body_text"]
+
+
+def test_paired_anchor_still_counts_link_chars():
+    """The fix must not break real anchors: a nav-like block that is all
+    link text still gets dropped by link density."""
+    html = (b"<html><body>"
+            b"<div><a href='/x'>Home</a> <a href='/y'>News</a> "
+            b"<a href='/z'>More</a></div>"
+            b"<p>Genuine article prose that is long enough to clear the"
+            b" minimum block length threshold for the density filter.</p>"
+            b"</body></html>")
+    r = golden.extract_page("u", html)
+    assert "Home" not in r["body_text"]
+    assert "Genuine article prose" in r["body_text"]
+
+
+def test_datagen_escapes_markup_in_corpus_text():
+    """ADVICE regression: a documents.text containing & < > " must round-trip
+    through render_html -> tokenizer unescape byte-identically."""
+    text = ('Ampersand & angle <b>not-a-tag</b> quote " apostrophe words '
+            'padding the paragraph to stay above the density minimum easily '
+            'plus more ordinary filler words to make two chunks appear here '
+            'and even more words so the classifier keeps everything intact')
+    html = datagen.render_html(7, text, "en")
+    r = golden.extract_page("u", html)
+    assert r["status"] == "success"
+    expected_body = "\n".join(datagen.chunks_for(text.split()))
+    assert r["body_text"] == expected_body
+    assert r["title"] == datagen.title_for(7, text.split())

@@ -75,3 +75,57 @@ def test_enriched_scores_match_golden(node_df, golden_map):
     sample = nodes_op.enrich_nodes(node_df).limit(500).collect()
     for n in sample:
         assert n.score == golden.block_score(n.tag, n.n_chars, n.n_link_chars)
+
+
+MULTI_META = b"""<html><head>
+<meta property="og:title" content="First OG Title">
+<meta property="og:title" content="Second OG Title Different">
+<meta name="parsely-author" content="Low Priority Author">
+<meta name="author" content="High Priority Author">
+<meta name="author" content="Second Author Occurrence">
+<meta name="pubdate" content="2023-02-02">
+<meta property="article:published_time" content="2021-05-06">
+<meta name="date" content="2022-01-01">
+</head><body>
+<p>Body paragraph long enough to be kept by the density classifier rules.</p>
+</body></html>"""
+
+FALLBACK_ONLY = b"""<html><body>
+<h2>A heading that the fallback tier must skip entirely</h2>
+<nav><a href="/x">linky linky linky navigation</a></nav>
+<p>short one</p>
+<p>short two here</p>
+</body></html>"""
+
+
+def _native_one(spark, url, html):
+    pages = spark.createDataFrame([(url, bytearray(html))],
+                                  "url string, html binary")
+    nd = nodes_op.tokenize_nodes(pages)
+    fields = {r.url: r for r in nodes_op.best_fields(nd).collect()}
+    body = {r.url: r for r in nodes_op.assemble_body_native(nd).collect()}
+    return fields.get(url), body.get(url)
+
+
+def test_meta_key_priority_and_first_occurrence_parity(spark):
+    """ADVICE regression: duplicate og:title/author/date metas — golden's
+    _meta_get takes the first meta in key-priority order; the native twin
+    must not emit one candidate per matching meta row."""
+    exp = golden.extract_page("u", MULTI_META)
+    fields, _ = _native_one(spark, "u", MULTI_META)
+    assert fields.title == exp["title"] == "First OG Title"
+    assert fields.byline == exp["byline"] == "High Priority Author"
+    assert fields.pub_date == exp["pub_date"] == "2021-05-06"
+
+
+def test_fallback_tier_parity(spark):
+    """ADVICE regression: when the density classifier keeps nothing, the
+    native twin must reproduce golden's tier-2 fallback body (non-boiler,
+    non-heading nodes >= FALLBACK_MIN_CHARS at fixed conf)."""
+    exp = golden.extract_page("u", FALLBACK_ONLY)
+    assert exp["body_text"]  # page exercises the fallback tier
+    _, body = _native_one(spark, "u", FALLBACK_ONLY)
+    assert body is not None
+    assert body.body_text == exp["body_text"]
+    assert body.n_blocks_kept == exp["n_blocks_kept"]
+    assert body.body_conf_raw == golden.FALLBACK_BODY_CONF

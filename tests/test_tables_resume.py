@@ -91,3 +91,40 @@ def test_lineage_metrics_shape(spark, pages, tmp_path):
     assert lin.agg(F.sum("bytes_in")).first()[0] > 0
     agg = lin.agg(F.sum("blocks_kept"), F.sum("n_failed")).first()
     assert agg[0] > 0 and agg[1] > 0  # empty-flavor pages land as failed rows
+
+
+def test_resume_after_torn_transaction(spark, pages, tmp_path):
+    """ADVICE regression: crash BETWEEN the results append and the checkpoint
+    commit must not duplicate rows on resume — the orphaned results/lineage
+    appends are rolled back (metadata-only) before the rerun re-extracts."""
+    run_full = Catalog(str(tmp_path / "full"))
+    lineage.run_extraction(spark, pages, run_full, "run-a", num_partitions=8)
+    full = {r.url: r.body_text for r in
+            run_full.read(spark, lineage.RESULTS_TABLE).collect()}
+
+    cat = Catalog(str(tmp_path / "torn"))
+    # first: 3 partitions commit cleanly
+    lineage.run_extraction(spark, pages, cat, "run-1", num_partitions=8,
+                           fail_after_parts=3)
+    # second: results+lineage appended for the remaining 5 parts, then crash
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        lineage.run_extraction(spark, pages, cat, "run-2", num_partitions=8,
+                               fail_before_checkpoint=True)
+    # torn state: all 8 parts' rows present but only 3 parts checkpointed —
+    # a naive resume would re-extract 5 parts and duplicate their rows
+    assert cat.read(spark, lineage.RESULTS_TABLE).count() == len(full)
+
+    # resume: must roll back the orphans, re-extract the 5 parts, no dups
+    s3 = lineage.run_extraction(spark, pages, cat, "run-3", num_partitions=8)
+    assert s3["parts_skipped"] == 3
+    assert s3["parts_done"] == 5
+    got = [r for r in cat.read(spark, lineage.RESULTS_TABLE).collect()]
+    by_url = {}
+    for r in got:
+        assert r.url not in by_url, f"duplicate row for {r.url}"
+        by_url[r.url] = r.body_text
+    assert by_url == full
+    # lineage has no orphan rows either: one row per (part, committed run)
+    lin = cat.read(spark, lineage.LINEAGE_TABLE).collect()
+    assert len(lin) == 8
+    assert sorted({r.part_id for r in lin}) == list(range(8))
