@@ -67,6 +67,18 @@ _AUTHOR_SQL_CASE = "CASE doc_id % 8 " + " ".join(
     f"WHEN {i} THEN '{a}'" for i, a in enumerate(datagen.AUTHORS)
 ) + " END"
 
+# multilingual flavor (datagen.flavor_for precedence: empty > pdf > soup > ml)
+_ML = "(doc_id % 11 <> 7 AND doc_id % 13 <> 5 AND doc_id % 17 = 3)"
+_ML_AUTHOR_SQL_CASE = (
+    "CASE WHEN doc_id % 2 = 0 THEN (CASE doc_id % 4 "
+    + " ".join(f"WHEN {i} THEN '{a}'"
+               for i, a in enumerate(datagen.AUTHORS_HI))
+    + " END) ELSE (CASE doc_id % 4 "
+    + " ".join(f"WHEN {i} THEN '{a}'"
+               for i, a in enumerate(datagen.AUTHORS_GU))
+    + " END) END"
+)
+
 _EMPTY = "doc_id % 97 = 96"  # the failed-row flavor (datagen.flavor_for)
 _WORDS = "string_split_regex(trim(text), '\\s+')"
 
@@ -115,7 +127,9 @@ _EXTRACT_ORACLES = {
         FROM documents""",
     "extract_byline": f"""
         SELECT doc_id,
-               CASE WHEN {_EMPTY} THEN NULL ELSE {_AUTHOR_SQL_CASE} END AS byline
+               CASE WHEN {_EMPTY} THEN NULL
+                    WHEN {_ML} THEN {_ML_AUTHOR_SQL_CASE}
+                    ELSE {_AUTHOR_SQL_CASE} END AS byline
         FROM documents""",
     "extract_date": f"""
         SELECT doc_id,

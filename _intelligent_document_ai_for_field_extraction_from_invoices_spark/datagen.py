@@ -10,6 +10,9 @@ Flavors (precedence order, mirrored in SQL CASE):
   - doc_id % 97 == 96  -> empty payload        (failed-row path, executable.py:383-407)
   - doc_id % 11 == 7   -> %PDF- payload        (layout-parse branch, ocr.py:420-487)
   - doc_id % 13 == 5   -> malformed tag soup   (lenient-recovery path)
+  - doc_id % 17 == 3   -> multilingual chrome  (Hindi/Gujarati byline+date
+                          labels, no author/date metas — exercises the ML
+                          extractor banks, ref extractor.py:87,106-107)
   - otherwise          -> clean HTML article
 
 Host distribution is Zipf-ish skewed (top host ~30% of pages) to exercise the
@@ -26,6 +29,8 @@ AUTHORS = [
     "Alice Zhang", "Rohan Mehta", "Carla Diaz", "Priya Patel",
     "Tom Okafor", "Mina Park", "Lukas Braun", "Sofia Rossi",
 ]
+AUTHORS_HI = ["अर्जुन शर्मा", "प्रिया वर्मा", "रवि कुमार", "नेहा गुप्ता"]
+AUTHORS_GU = ["અમિત પટેલ", "રીના શાહ", "કિરણ દેસાઈ", "મીરા જોશી"]
 HOSTS = [f"h{i}.example.com" for i in range(16)]
 EPOCH_DATE = _dt.date(2024, 1, 1)
 EPOCH_TS = _dt.datetime(2025, 1, 1, 0, 0, 0)
@@ -61,6 +66,8 @@ def flavor_for(doc_id: int) -> str:
         return "pdf"
     if doc_id % 13 == 5:
         return "soup"
+    if doc_id % 17 == 3:
+        return "ml"
     return "clean"
 
 
@@ -70,6 +77,15 @@ def title_for(doc_id: int, words: list[str]) -> str:
 
 def author_for(doc_id: int) -> str:
     return AUTHORS[doc_id % len(AUTHORS)]
+
+
+def ml_script_for(doc_id: int) -> str:
+    return "hi" if doc_id % 2 == 0 else "gu"
+
+
+def ml_author_for(doc_id: int) -> str:
+    bank = AUTHORS_HI if ml_script_for(doc_id) == "hi" else AUTHORS_GU
+    return bank[doc_id % len(bank)]
 
 
 def date_for(doc_id: int) -> str:
@@ -105,6 +121,13 @@ def _date_text(doc_id: int) -> str:
     return f"{_MONTH_NAMES[d.month - 1]} {d.day}, {d.year}"
 
 
+def _date_text_ml(doc_id: int) -> str:
+    d = EPOCH_DATE + _dt.timedelta(days=doc_id % 365)
+    bank = (golden.MONTHS_HI if ml_script_for(doc_id) == "hi"
+            else golden.MONTHS_GU)
+    return f"{d.day} {bank[d.month - 1]} {d.year}"
+
+
 def render_html(doc_id: int, text: str, lang: str) -> bytes:
     # html.escape everywhere document-derived strings are interpolated: the
     # tokenizer unescapes entities on parse, so extraction round-trips to the
@@ -114,10 +137,30 @@ def render_html(doc_id: int, text: str, lang: str) -> bytes:
 
     words = text.split()
     title = escape(title_for(doc_id, words))
-    author = escape(author_for(doc_id))
     date = date_for(doc_id)  # internal ISO string, never markup
     paras = chunks_for(words)
-    soup = flavor_for(doc_id) == "soup"
+    flavor = flavor_for(doc_id)
+    soup = flavor == "soup"
+    ml = flavor == "ml"
+    if ml:
+        # Hindi/Gujarati chrome: author/date exist ONLY as labeled text in
+        # the byline block (no author meta, no published_time meta, no
+        # <time datetime>), so extraction must go through the multilingual
+        # pattern banks (golden._BYLINE_ML_RE / _DATE_TEXT_ML_RE)
+        label = "द्वारा" if ml_script_for(doc_id) == "hi" else "લેખક"
+        author = escape(ml_author_for(doc_id))
+        author_meta = ""
+        date_meta = ""
+        byline_div = (f'<div class="byline">{label} {author} &mdash; '
+                      f'{_date_text_ml(doc_id)}</div>')
+    else:
+        author = escape(author_for(doc_id))
+        author_meta = f'<meta name="author" content="{author}">\n'
+        date_meta = (f'<meta property="article:published_time" '
+                     f'content="{date}T08:30:00Z">\n')
+        byline_div = (f'<div class="byline">By {author} &mdash; '
+                      f'<time datetime="{date}">{_date_text(doc_id)}</time>'
+                      f'</div>')
     para_html = []
     for i, p in enumerate(paras):
         para_html.append(f"<p>{escape(p, quote=False)}</p>")
@@ -134,9 +177,7 @@ def render_html(doc_id: int, text: str, lang: str) -> bytes:
 <meta charset="utf-8">
 <title>{title} | Example Site</title>
 <meta property="og:title" content="{title}">
-<meta name="author" content="{author}">
-<meta property="article:published_time" content="{date}T08:30:00Z">
-<style>.x{{color:red}}</style>
+{author_meta}{date_meta}<style>.x{{color:red}}</style>
 <script>var t = "<p>not content</p>";</script>
 </head>
 <body>
@@ -145,7 +186,7 @@ def render_html(doc_id: int, text: str, lang: str) -> bytes:
 <!-- rendered page -->
 <article>
 <h1>{title}</h1>
-<div class="byline">By {author} &mdash; <time datetime="{date}">{_date_text(doc_id)}</time></div>
+{byline_div}
 {body_doc}
 </article>
 <div class="sidebar"><a href="/a">Most read</a> <a href="/b">Trending now</a> today</div>

@@ -122,19 +122,36 @@ _MONTHS = {
 }
 _MONTH_ABBR = {m[:3]: n for m, n in _MONTHS.items()}
 
-# Byline patterns (ref dealer-name extractors F1, extractor.py:72-89).
+# Byline patterns (ref dealer-name extractors F1, extractor.py:72-89; the
+# Hindi/Gujarati bank mirrors the ref's multilingual labels, extractor.py:87
+# 'डीलर|ડીલર|विक्रेता' — retargeted to byline labels 'द्वारा' / 'લેખક').
 _BYLINE_TEXT_RE = re.compile(
     r"^[Bb]y[:\s]\s*([A-Z][\w.'’-]*(?:\s+[A-Z][\w.'’-]*){0,3})"
+)
+_INDIC = "ऀ-ॿ઀-૿"  # Devanagari + Gujarati blocks
+_BYLINE_ML_RE = re.compile(
+    rf"^(?:द्वारा|લેખક)[:\s]\s*([{_INDIC}][{_INDIC}.'’-]*"
+    rf"(?:\s+[{_INDIC}][{_INDIC}.'’-]*){{0,3}})"
 )
 _BYLINE_REJECT = frozenset(
     ["the", "our", "all", "more", "news", "staff", "admin", "editor team"]
 )
 
-# Date patterns (ref HP extractors F3 retargeted to dates, extractor.py:102-109).
+# Date patterns (ref HP extractors F3 retargeted to dates, extractor.py:102-109;
+# ML bank mirrors the ref's Hindi/Gujarati pattern row, extractor.py:106-107).
 _DATE_ISO_RE = re.compile(r"\b(\d{4})-(\d{2})-(\d{2})\b")
 _DATE_TEXT_RE = re.compile(
     r"\b(January|February|March|April|May|June|July|August|September|October|"
     r"November|December)\s+(\d{1,2}),?\s+(\d{4})\b"
+)
+MONTHS_HI = ("जनवरी फरवरी मार्च अप्रैल मई जून जुलाई अगस्त सितंबर अक्टूबर "
+             "नवंबर दिसंबर").split()
+MONTHS_GU = ("જાન્યુઆરી ફેબ્રુઆરી માર્ચ એપ્રિલ મે જૂન જુલાઈ ઑગસ્ટ સપ્ટેમ્બર "
+             "ઑક્ટોબર નવેમ્બર ડિસેમ્બર").split()
+_MONTHS_ML = {m: i + 1 for i, m in enumerate(MONTHS_HI)}
+_MONTHS_ML.update({m: i + 1 for i, m in enumerate(MONTHS_GU)})
+_DATE_TEXT_ML_RE = re.compile(
+    r"(\d{1,2})\s+(" + "|".join([*MONTHS_HI, *MONTHS_GU]) + r")\s+(\d{4})"
 )
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)")
 
@@ -544,7 +561,9 @@ def _valid_byline(v: str) -> bool:
     len>=3, not all-lower, reject-term list, digit ratio <= 0.3."""
     if not (3 <= len(v) <= 80):
         return False
-    if v == v.lower():
+    if v == v.lower() and v != v.upper():
+        # all-lowercase is invalid only for caseable scripts; Devanagari/
+        # Gujarati names are caseless (lower == upper) and must pass
         return False
     if v.strip().lower() in _BYLINE_REJECT:
         return False
@@ -566,6 +585,9 @@ def _parse_date_any(s: str) -> str | None:
     m = _DATE_TEXT_RE.search(s)
     if m:
         return _norm_date(int(m.group(3)), _MONTHS[m.group(1).lower()], int(m.group(2)))
+    m = _DATE_TEXT_ML_RE.search(s)
+    if m:
+        return _norm_date(int(m.group(3)), _MONTHS_ML[m.group(2)], int(m.group(1)))
     return None
 
 
@@ -613,7 +635,9 @@ def extract_candidates(parsed) -> dict[str, list[dict]]:
             break
         if n["boiler"]:
             continue
-        m = _BYLINE_TEXT_RE.match(n["text"])
+        # English bank first, then the Hindi/Gujarati bank (ref multilingual
+        # rows, extractor.py:87); prefixes are disjoint so order is cosmetic
+        m = _BYLINE_TEXT_RE.match(n["text"]) or _BYLINE_ML_RE.match(n["text"])
         if m and _valid_byline(m.group(1)):
             score = 0.7
             if n["node_idx"] < 5:  # position boost (extractor.py:315)

@@ -161,10 +161,21 @@ def _month_map():
 _ISO = r"(\d{4}-\d{2}-\d{2})"
 _TEXTUAL = (r"(January|February|March|April|May|June|July|August|September|"
             r"October|November|December)\s+(\d{1,2}),?\s+(\d{4})")
+_TEXTUAL_ML = (r"(\d{1,2})\s+("
+               + "|".join([*golden.MONTHS_HI, *golden.MONTHS_GU])
+               + r")\s+(\d{4})")
+
+
+def _ml_month_map():
+    return F.create_map(*[
+        F.lit(x) for kv in golden._MONTHS_ML.items() for x in kv
+    ])
 
 
 def _norm_date_native(raw):
-    """ISO or 'Month D, YYYY' -> 'YYYY-MM-DD' with the P7 year-range guard."""
+    """ISO, 'Month D, YYYY', or Hindi/Gujarati 'D <month> YYYY' ->
+    'YYYY-MM-DD' with the P7 year-range guard (mirrors golden's bank order:
+    ISO, English textual, ML textual)."""
     iso = F.regexp_extract(raw, _ISO, 1)
     mon = F.regexp_extract(raw, _TEXTUAL, 1)
     day = F.regexp_extract(raw, _TEXTUAL, 2)
@@ -175,7 +186,17 @@ def _norm_date_native(raw):
                                     .cast("string"), 2, "0"),
                     F.lpad(day, 2, "0")),
     )
-    d = F.when(iso != "", iso).otherwise(textual)
+    mon_ml = F.regexp_extract(raw, _TEXTUAL_ML, 2)
+    textual_ml = F.when(
+        mon_ml != "",
+        F.concat_ws(
+            "-", F.regexp_extract(raw, _TEXTUAL_ML, 3),
+            F.lpad(F.element_at(_ml_month_map(), mon_ml).cast("string"),
+                   2, "0"),
+            F.lpad(F.regexp_extract(raw, _TEXTUAL_ML, 1), 2, "0")),
+    )
+    d = F.when(iso != "", iso).otherwise(
+        F.when(mon != "", textual).otherwise(textual_ml))
     year_ok = F.substring(d, 1, 4).cast("int").between(1990, 2030)
     month_ok = F.substring(d, 6, 2).cast("int").between(1, 12)
     day_ok = F.substring(d, 9, 2).cast("int").between(1, 31)
@@ -184,9 +205,11 @@ def _norm_date_native(raw):
 
 def _valid_byline_native(v):
     digits = F.length(F.regexp_replace(v, r"[^0-9]", ""))
+    # all-lower rejection applies only to caseable scripts (golden parity:
+    # Devanagari/Gujarati have lower == upper and must pass)
     return (
         F.length(v).between(3, 80)
-        & (v != F.lower(v))
+        & ((v != F.lower(v)) | (F.lower(v) == F.upper(v)))
         & (~F.lower(F.trim(v)).isin([*golden._BYLINE_REJECT]))
         & (digits <= 0.3 * F.length(v))
     )
@@ -250,9 +273,14 @@ def field_candidates(nodes: DataFrame) -> DataFrame:
         _valid_byline_native(t)
     )
     by_rx = r"^[Bb]y[:\s]\s*([A-Z][\w.'’-]*(?:\s+[A-Z][\w.'’-]*){0,3})"
+    ind = golden._INDIC
+    by_rx_ml = (rf"^(?:द्वारा|લેખક)[:\s]\s*([{ind}][{ind}.'’-]*"
+                rf"(?:\s+[{ind}][{ind}.'’-]*){{0,3}})")
     by_text = (
         real.filter((F.col("node_idx") < 25) & ~F.col("boiler"))
-        .withColumn("m", F.regexp_extract("text", by_rx, 1))
+        .withColumn("m_en", F.regexp_extract("text", by_rx, 1))
+        .withColumn("m", F.when(F.col("m_en") != "", F.col("m_en"))
+                    .otherwise(F.regexp_extract("text", by_rx_ml, 1)))
         .filter((F.col("m") != "") & _valid_byline_native(F.col("m")))
         .withColumn("s", F.when(F.col("node_idx") < 5,
                                 F.round(F.lit(0.7 * 1.12), 4))

@@ -27,12 +27,15 @@ def golden_table(spark, documents):
     rows = documents.select("doc_id", "text").collect()
     out = []
     for r in rows:
-        if datagen.flavor_for(r.doc_id) == "empty":
+        flavor = datagen.flavor_for(r.doc_id)
+        if flavor == "empty":
             continue
+        byline = (datagen.ml_author_for(r.doc_id) if flavor == "ml"
+                  else datagen.author_for(r.doc_id))
         out.append((
             datagen.url_for(r.doc_id),
             datagen.title_for(r.doc_id, r.text.split()),
-            datagen.author_for(r.doc_id),
+            byline,
             datagen.date_for(r.doc_id),
             datagen.expected_body(r.doc_id, r.text),
         ))

@@ -180,3 +180,30 @@ def test_datagen_escapes_markup_in_corpus_text():
     expected_body = "\n".join(datagen.chunks_for(text.split()))
     assert r["body_text"] == expected_body
     assert r["title"] == datagen.title_for(7, text.split())
+
+
+def test_multilingual_byline_and_date_banks():
+    """Ref multilingual patterns (extractor.py:87,106-107) retargeted: Hindi
+    'द्वारा <name>' and Gujarati 'લેખક <name>' bylines, 'D <month> YYYY'
+    dates in both scripts — no English metas present."""
+    html = ("<html><body>"
+            "<div class='byline'>द्वारा अर्जुन शर्मा &mdash; 15 जनवरी 2024</div>"
+            "<p>Body prose long enough for the density classifier to keep.</p>"
+            "</body></html>").encode()
+    r = golden.extract_page("u", html)
+    assert r["byline"] == "अर्जुन शर्मा"
+    assert r["pub_date"] == "2024-01-15"
+
+    html_gu = ("<html><body>"
+               "<div class='byline'>લેખક રીના શાહ &mdash; 3 ઑગસ્ટ 2025</div>"
+               "<p>Body prose long enough for the density classifier to keep.</p>"
+               "</body></html>").encode()
+    r = golden.extract_page("u", html_gu)
+    assert r["byline"] == "રીના શાહ"
+    assert r["pub_date"] == "2025-08-03"
+
+
+def test_caseless_script_byline_validity():
+    assert golden._valid_byline("अर्जुन शर्मा")        # caseless: passes
+    assert not golden._valid_byline("john smith")      # all-lower Latin: rejected
+    assert golden._valid_byline("John Smith")

@@ -129,3 +129,23 @@ def test_fallback_tier_parity(spark):
     assert body.body_text == exp["body_text"]
     assert body.n_blocks_kept == exp["n_blocks_kept"]
     assert body.body_conf_raw == golden.FALLBACK_BODY_CONF
+
+
+def test_multilingual_parity(spark):
+    """The native twin must reproduce golden's Hindi/Gujarati byline/date
+    extraction on ml-flavor pages (VERDICT 'missing' #2)."""
+    text = " ".join(f"w{i}q" for i in range(40))
+    checked = 0
+    for doc_id in range(0, 400):
+        if datagen.flavor_for(doc_id) != "ml":
+            continue
+        url = datagen.url_for(doc_id)
+        html = datagen.render_page(doc_id, text, "hi")
+        exp = golden.extract_page(url, html)
+        fields, _ = _native_one(spark, url, html)
+        assert fields.byline == exp["byline"] == datagen.ml_author_for(doc_id)
+        assert fields.pub_date == exp["pub_date"] == datagen.date_for(doc_id)
+        checked += 1
+        if checked >= 4:  # 2 Hindi + 2 Gujarati is enough per-test runtime
+            break
+    assert checked == 4
