@@ -116,18 +116,44 @@ def confidence_distribution(results: DataFrame) -> DataFrame:
 CPU_RATE_PER_HOUR = 0.01  # ref cost model, executable.py:473-488
 
 
-def cost_metrics(lineage_df: DataFrame, wall_sec_per_part: float = None,
+def cost_metrics(lineage_df: DataFrame,
                  rate_per_hour: float = CPU_RATE_PER_HOUR) -> DataFrame:
-    """A9/F17: cost model over lineage rows — cost = processing seconds x
-    hourly rate; here seconds are estimated from bytes at the measured rate
-    when no explicit timing column exists."""
+    """A9/F17 + A8: cost model over lineage rows — cost = processing seconds
+    x hourly rate (ref executable.py:473-488). Seconds are MEASURED when the
+    lineage carries wall_ms (run_extraction records real per-partition UDF
+    wall time); the bytes-based estimate is only the fallback for lineage
+    written without timings."""
     est_sec = F.col("bytes_out") / F.lit(2_000_000.0)  # ~2 MB/s/core measured
-    cost = F.round(est_sec / 3600.0 * rate_per_hour, 8)
+    if "wall_ms" in lineage_df.columns:
+        sec = F.coalesce(F.col("wall_ms") / 1000.0, est_sec)
+    else:
+        sec = est_sec
+    cost = F.round(sec / 3600.0 * rate_per_hour, 8)
     return lineage_df.select(
         "part_id", "n_rows", "bytes_out", cost.alias("est_cost_usd")
     ).withColumn("cost_per_row_usd",
                  F.round(F.col("est_cost_usd")
                          / F.greatest(F.col("n_rows"), F.lit(1)), 10))
+
+
+def performance_metrics(lineage_df: DataFrame) -> DataFrame:
+    """A8: measured throughput from lineage wall_ms — the ref's runtime
+    formulas (docs/hour = n / (sum proc_time / 3600), evaluate.py:443-446;
+    pages/sec = 1 / mean(page_time), ocr.py:638) over real per-partition UDF
+    wall time rather than byte estimates."""
+    sec = F.sum("wall_ms") / 1000.0
+    return lineage_df.agg(
+        F.sum("n_rows").alias("n_docs"),
+        F.round(sec, 3).alias("cpu_sec"),
+        F.round(F.sum("n_rows") / F.greatest(sec, F.lit(1e-9)), 2)
+        .alias("docs_per_cpu_sec"),
+        F.round(F.sum("n_rows") / (F.greatest(sec, F.lit(1e-9)) / 3600.0), 0)
+        .alias("docs_per_cpu_hour"),
+        F.round(F.sum("bytes_out") / F.greatest(sec, F.lit(1e-9)), 0)
+        .alias("bytes_out_per_cpu_sec"),
+        F.round((F.sum("wall_ms") / F.greatest(F.sum("n_rows"), F.lit(1))), 4)
+        .alias("avg_ms_per_doc"),
+    )
 
 
 def error_breakdown(results: DataFrame) -> DataFrame:

@@ -44,8 +44,13 @@ def stamp_part_id(pages: DataFrame, num_partitions: int) -> DataFrame:
 
 
 def lineage_rows(results: DataFrame, run_id: str) -> DataFrame:
+    # measured per-partition extraction wall time when the results carry the
+    # per-doc wall_ms column (extract_pages(with_timings=True)); else null
+    wall = (F.round(F.sum("wall_ms"), 3) if "wall_ms" in results.columns
+            else F.lit(None).cast("double"))
     return results.groupBy("part_id").agg(
         F.lit(run_id).alias("run_id"),
+        wall.alias("wall_ms"),
         F.count("*").alias("n_rows"),
         F.sum("n_html_bytes").alias("bytes_in"),
         F.sum(F.length(F.col("body_text"))).alias("bytes_out"),
@@ -111,6 +116,7 @@ def run_extraction(spark: SparkSession, pages: DataFrame, catalog: Catalog,
             todo.select("url", "html", F.col("part_id").alias("ckpt_part")),
             num_partitions=num_partitions,
             passthrough=[("ckpt_part", "int")],
+            with_timings=True,  # A8: lineage carries measured wall_ms
         )
         .withColumn("run_id", F.lit(run_id))
         .drop("part_id")

@@ -128,3 +128,25 @@ def test_resume_after_torn_transaction(spark, pages, tmp_path):
     lin = cat.read(spark, lineage.LINEAGE_TABLE).collect()
     assert len(lin) == 8
     assert sorted({r.part_id for r in lin}) == list(range(8))
+
+
+def test_lineage_carries_measured_wall_ms(spark, pages, tmp_path):
+    """A8: run_extraction records REAL per-partition extraction wall time
+    (not byte estimates); cost + throughput metrics consume it."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+        evaluate as ev,
+    )
+
+    cat = Catalog(str(tmp_path))
+    lineage.run_extraction(spark, pages, cat, "run-t", num_partitions=4)
+    lin = cat.read(spark, lineage.LINEAGE_TABLE)
+    rows = lin.collect()
+    assert all(r.wall_ms is not None and r.wall_ms > 0 for r in rows)
+    perf = ev.performance_metrics(lin).first()
+    assert perf.n_docs == sum(r.n_rows for r in rows)
+    assert perf.docs_per_cpu_sec > 0
+    assert 0 < perf.avg_ms_per_doc < 1000  # sub-second per synthetic page
+    cost = {r.part_id: r for r in ev.cost_metrics(lin).collect()}
+    for r in rows:  # measured path: cost == wall_sec * rate
+        exp = round(r.wall_ms / 1000.0 / 3600.0 * ev.CPU_RATE_PER_HOUR, 8)
+        assert abs(cost[r.part_id].est_cost_usd - exp) < 1e-9
