@@ -43,6 +43,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned for compute-heavy per-doc pipelines.
+
+    The sandbox table is ONE parquet file -> a single scan task, which would
+    run the entire pre-shuffle pipeline (shingle explode, md5 banks, bit
+    votes) single-threaded. One cheap round-robin shuffle of the small text
+    table unlocks full-core parallelism. At production scale the source
+    table arrives in thousands of splits and this repartition would be
+    skipped (partition count >= cores)."""
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return docs.repartition(par, "doc_id")
+
+
 def extraction_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run (and cache) the full extraction pipeline over pages derived from
     the documents table; exposes doc_id parsed back from the url."""
@@ -404,19 +418,19 @@ def q_fingerprints(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     pairs = dedup.shingle_pairs(d, n=3, min_shared=2)
     return dedup.jaccard_pairs(d, pairs)
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     # hash_fn="md5" (default): oracle-reproducible permutation hashes
-    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+    return dedup.minhash_lsh_pairs(_docs_wide(spark, sf_dir),
                                    min_est_jaccard=0.25)
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_near_dups(_docs_wide(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -472,12 +486,14 @@ def _minhash_oracle_sql(num_perms: int = dedup.MINHASH_PERMS,
                         max_bucket: int = 256,
                         min_est_jaccard: float = 0.25) -> str:
     """ANSI-SQL twin of dedup.minhash_lsh_pairs(hash_fn="md5"): 3-word
-    shingle md5 digests -> per-permutation min of md5(digest || ',' || p) ->
-    banded buckets (md5 of the comma-joined band slice) -> capped self-join
-    -> distinct pairs with est_jaccard = matching slots / num_perms."""
+    shingle md5 digests -> per-permutation min of the p%4-th 8-hex-char
+    slice of md5(digest || ',' || p//4) -> banded buckets (md5 of the
+    comma-joined band slice) -> capped self-join -> distinct pairs with
+    est_jaccard = matching slots / num_perms."""
     rows = num_perms // bands
     mins = ",\n                 ".join(
-        f"min(md5(sh || ',{p}')) AS mh{p}" for p in range(num_perms))
+        f"min(substr(md5(sh || ',{p // 4}'), {(p % 4) * 8 + 1}, 8)) AS mh{p}"
+        for p in range(num_perms))
     band_rows = "\n          UNION ALL\n          ".join(
         "SELECT doc_id, {b} AS band, md5({cat}) AS bucket, [{sig}] AS sig FROM mh"
         .format(

@@ -35,7 +35,14 @@ def _cap_hot_keys(df: DataFrame, key_cols: list[str],
     shuffle carries one row per distinct key; the (tiny) over-cap key set is
     broadcast back as a LEFT ANTI join. Equivalent result to filtering on
     `count() OVER (PARTITION BY keys)`, but no single-task buffering of the
-    hottest key."""
+    hottest key.
+
+    The input is cached: it feeds the count aggregate, the anti-join probe,
+    and (in every caller) both sides of a downstream self-join — without the
+    cache the whole upstream hash/explode pipeline would run 3-4x. Callers
+    on a cluster too big to cache would swap this for a checkpoint/storage
+    round-trip; the plan shape is unchanged."""
+    df = df.cache()
     hot = (
         df.groupBy(*key_cols).count()
         .filter(F.col("count") > max_bucket)
@@ -76,9 +83,7 @@ def shingle_pairs(df: DataFrame, key: str = "doc_id", text_col: str = "text",
         .select(F.col(key).alias("k"),
                 F.explode(F.array_distinct(_shingles(text_col, n))).alias("sh"))
     )
-    # cache: the frame feeds both sides of the self-join — without it the
-    # whole shingle/explode pipeline is recomputed per side
-    capped = _cap_hot_keys(ex, ["sh"], max_bucket).cache()
+    capped = _cap_hot_keys(ex, ["sh"], max_bucket)
     a = capped.alias("a")
     b = capped.alias("b")
     return (
@@ -114,15 +119,17 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
 def _perm_hash(tok, p: int, hash_fn: str):
     """Seeded permutation hash of a shingle digest.
 
-    - "md5": lowercase-hex md5 of "<digest>,<seed>" — byte-identical in any
-      engine with md5 (the DuckDB oracle reproduces it), min taken over the
-      hex STRING (uniform permutation; string min == numeric min of the
-      128-bit value).
-    - "xxhash64": Spark-native seeded 64-bit hash — cheapest at scale
-      (signature slots are 8-byte longs, ~4x less shuffle than hex strings)
-      but engine-internal, so not oracle-reproducible."""
+    - "md5": each md5 of "<digest>,<seed_group>" yields FOUR independent
+      32-bit permutations (hex slices of the 128-bit digest), so 16 perms
+      cost 4 md5 calls per shingle, not 16. Byte-identical in any engine
+      with md5 (the DuckDB oracle reproduces it); min is taken over the
+      8-hex-char STRING (lexicographic == numeric for fixed-width hex).
+    - "xxhash64": Spark-native seeded 64-bit hash — cheapest at scale but
+      engine-internal, so not oracle-reproducible."""
     if hash_fn == "md5":
-        return F.md5(F.concat_ws(",", tok, F.lit(str(p))))
+        return F.substring(
+            F.md5(F.concat_ws(",", tok, F.lit(str(p // 4)))),
+            (p % 4) * 8 + 1, 8)
     if hash_fn == "xxhash64":
         return F.xxhash64(tok, F.lit(p))
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
@@ -151,9 +158,20 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id",
             F.array_distinct(_shingles(text_col, shingle_n))
         ).alias("tok"),
     )
+    if hash_fn == "md5":
+        # one projection computes each seed-group md5 exactly once per
+        # shingle row (explicit sharing — no reliance on codegen CSE)
+        toks = toks.withColumns({
+            f"h{g}": F.md5(F.concat_ws(",", F.col("tok"), F.lit(str(g))))
+            for g in range((num_perms + 3) // 4)
+        })
+        slot = [F.substring(F.col(f"h{p // 4}"), (p % 4) * 8 + 1, 8)
+                for p in range(num_perms)]
+    else:
+        slot = [_perm_hash(F.col("tok"), p, hash_fn)
+                for p in range(num_perms)]
     mins = toks.groupBy("k").agg(*[
-        F.min(_perm_hash(F.col("tok"), p, hash_fn)).alias(f"mh{p}")
-        for p in range(num_perms)
+        F.min(slot[p]).alias(f"mh{p}") for p in range(num_perms)
     ])
     return mins.select(
         F.col("k").alias(key),
@@ -189,26 +207,26 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
             )
         ).alias("band", "bucket"),
     )
-    # cached: both self-join sides would otherwise recompute the full
-    # signature pipeline (explode x perms + min-agg) from scratch
-    banded = _cap_hot_keys(banded, ["band", "bucket"], max_bucket).cache()
+    # _cap_hot_keys caches its input, so both self-join sides reuse the
+    # banded signature pipeline rather than recomputing it
+    banded = _cap_hot_keys(banded, ["band", "bucket"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    matches = F.size(F.filter(
+        F.zip_with(F.col("a.signature"), F.col("b.signature"),
+                   lambda x, y: x == y), lambda v: v
+    ))
+    # est_jaccard is a pure function of the pair, so filtering BEFORE the
+    # dropDuplicates shuffle is equivalent — and the dedup then only carries
+    # surviving pairs instead of every band collision
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.k") < F.col("b.k")))
         .select(F.col("a.k").alias("doc_a"), F.col("b.k").alias("doc_b"),
-                F.col("a.signature").alias("sig_a"),
-                F.col("b.signature").alias("sig_b"))
+                F.round(matches / F.lit(num_perms), 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    matches = F.size(F.filter(
-        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-    ))
-    return cand.select(
-        "doc_a", "doc_b",
-        F.round(matches / F.lit(num_perms), 4).alias("est_jaccard"),
-    ).filter(F.col("est_jaccard") >= min_est_jaccard)
 
 
 def simhash_signatures(df: DataFrame, key: str = "doc_id",
@@ -220,28 +238,30 @@ def simhash_signatures(df: DataFrame, key: str = "doc_id",
     is 1 iff the majority of distinct tokens have bit b set (sign of the
     summed +/-1 votes; ties -> 0, matching the classic formulation).
 
-    Plan: explode distinct tokens -> 16 nibble ints via conv(hex char) ->
-    64 conditional-sum aggregates + a count per doc. The sums combine
-    map-side, so the shuffle carries 65 longs per DOC, not per token. Docs
-    with no tokens get simhash 0. Oracle-reproducible: md5 + integer bit
-    ops exist verbatim in ANSI-ish SQL (see contract.py)."""
+    Plan: explode distinct tokens -> two conv() ints per token (hex chars
+    1-15 and 16) -> 64 conditional-sum aggregates + a count per doc. The
+    sums combine map-side, so the shuffle carries 65 longs per DOC, not per
+    token. Docs with no tokens get simhash 0. Oracle-reproducible: md5 +
+    integer bit ops exist verbatim in ANSI-ish SQL (see contract.py)."""
     toks = df.select(
         F.col(key).alias("k"),
         F.explode(
             F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
         ).alias("tok"),
     ).filter(F.col("tok") != "")
+    # two conv() calls per token, not 16: hex chars 1-15 -> bits 63..4
+    # ("hi", < 2^60 so the signed long conv is exact), char 16 -> bits 3..0
     h = F.md5(F.col("tok"))
-    nibs = [
-        F.conv(F.substring(h, k, 1), 16, 10).cast("long").alias(f"n{k}")
-        for k in range(1, 17)
-    ]
-    nt = toks.select("k", *nibs)
+    nt = toks.select(
+        "k",
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(h, 16, 1), 16, 10).cast("long").alias("lo"),
+    )
 
     def bit(b: int):
-        # hex char position holding bit b (char 1 = most-significant nibble)
-        k = (63 - b) // 4 + 1
-        return F.shiftright(F.col(f"n{k}"), b % 4).bitwiseAND(F.lit(1))
+        if b < 4:
+            return F.shiftright(F.col("lo"), b).bitwiseAND(F.lit(1))
+        return F.shiftright(F.col("hi"), b - 4).bitwiseAND(F.lit(1))
 
     agg = nt.groupBy("k").agg(
         F.count("*").alias("cnt"),
@@ -285,15 +305,17 @@ def simhash_near_dups(df: DataFrame, key: str = "doc_id",
             for i in range(4)
         ])).alias("band", "bkey"),
     )
-    banded = _cap_hot_keys(banded, ["band", "bkey"], max_bucket).cache()
+    banded = _cap_hot_keys(banded, ["band", "bkey"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).cast("int")
+    # hamming is a pure function of the pair: filter before the dedup
+    # shuffle so it only carries pairs that survive the threshold
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bkey") == F.col("b.bkey"))
                & (F.col("a.k") < F.col("b.k")))
         .select(F.col("a.k").alias("doc_a"), F.col("b.k").alias("doc_b"),
                 ham.alias("hamming"))
-        .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
