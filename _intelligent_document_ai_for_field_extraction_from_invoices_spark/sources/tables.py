@@ -137,6 +137,45 @@ class Catalog:
             self._commit(table, keep, "rollback", cur["version"])
         return n_removed
 
+    def vacuum(self, table: str, keep_versions: int = 1) -> int:
+        """Delete data files not referenced by the newest `keep_versions`
+        snapshots (Iceberg's expire-snapshots + orphan-file GC analogue —
+        reclaims the files left behind by `remove_orphan_appends` rollbacks
+        and by overwrites). Metadata for expired snapshots is kept (cheap,
+        and preserves the audit trail); only their exclusive data files go.
+        Returns the number of files deleted."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            return 0
+        cur = self._read_current(table)
+        # never GC files visible from _current, nor from the newest N snaps
+        keep: set[str] = set(cur["files"]) if cur else set()
+        for s in snaps[-keep_versions:]:
+            keep.update(s["files"])
+        data_root = os.path.join(self._tdir(table), "data")
+        if not os.path.isdir(data_root):
+            return 0
+        n = 0
+        for stage in os.listdir(data_root):
+            sdir = os.path.join(data_root, stage)
+            if not os.path.isdir(sdir):
+                continue
+            parquets = [os.path.join(sdir, f) for f in os.listdir(sdir)
+                        if f.endswith(".parquet")]
+            live = [p for p in parquets if p in keep]
+            if not live:
+                # whole staging commit expired: drop it with its markers
+                import shutil  # noqa: PLC0415
+
+                n += len(parquets)
+                shutil.rmtree(sdir)
+            else:
+                for p in parquets:
+                    if p not in keep:
+                        os.remove(p)
+                        n += 1
+        return n
+
     def read(self, spark: SparkSession, table: str,
              version: int | None = None) -> DataFrame:
         if version is None:

@@ -150,3 +150,31 @@ def test_lineage_carries_measured_wall_ms(spark, pages, tmp_path):
     for r in rows:  # measured path: cost == wall_sec * rate
         exp = round(r.wall_ms / 1000.0 / 3600.0 * ev.CPU_RATE_PER_HOUR, 8)
         assert abs(cost[r.part_id].est_cost_usd - exp) < 1e-9
+
+
+def test_vacuum_reclaims_expired_and_orphaned_files(spark, tmp_path):
+    """Iceberg expire-snapshots analogue: files only referenced by old
+    snapshots (or left behind by rollbacks) are deleted; the current
+    snapshot still reads identically."""
+    import os
+
+    cat = Catalog(str(tmp_path))
+    cat.overwrite("t", spark.range(10))
+    cat.overwrite("t", spark.range(7))       # v1's files now unreferenced
+    cat.append("t", spark.range(7, 10), txn="tx-dead")
+    cat.remove_orphan_appends("t", live_txns=set())  # roll the append back
+    assert cat.read(spark, "t").count() == 7
+
+    data_root = os.path.join(str(tmp_path), "t", "data")
+    def n_parquet():
+        return sum(len([f for f in fs if f.endswith(".parquet")])
+                   for _, _, fs in os.walk(data_root))
+
+    before = n_parquet()
+    removed = cat.vacuum("t")
+    assert removed > 0
+    assert n_parquet() == before - removed
+    # current data intact after GC
+    assert sorted(r.id for r in cat.read(spark, "t").collect()) == list(range(7))
+    # vacuum is idempotent
+    assert cat.vacuum("t") == 0
