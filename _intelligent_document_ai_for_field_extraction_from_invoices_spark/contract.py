@@ -468,6 +468,16 @@ def q_ivf_ann_vec1(spark, sf_dir):
     return similarity.ivf_ann_query(_t(spark, sf_dir, "embeddings"), 1, k=5)
 
 
+def q_ivf_kmeans_ann_vec1(spark, sf_dir):
+    """ANN probe with TRAINED (Lloyd k-means) IVF centroids — rows-only
+    check: fixed-iteration k-means is deterministic but iterative, the
+    contract's allowed no-oracle category (group-mean summation order
+    differs across engines, so a SQL replica could flip knife-edge argmins)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, num_centroids=8, iters=2)
+    return similarity.ivf_ann_query(emb, 1, k=5, centroids=cents)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (IVF-bucketed self-join). Threshold
     0.40 so the synthetic clusters yield a non-trivial pair set (the oracle
@@ -904,5 +914,6 @@ QUERIES = {
     "q_knn_cosine_vec0": q_knn_cosine_vec0,
     "q_label_centroid_norms": q_label_centroid_norms,
     "q_ivf_ann_vec1": q_ivf_ann_vec1,
+    "q_ivf_kmeans_ann_vec1": q_ivf_kmeans_ann_vec1,  # rows-only (iterative)
     "q_embedding_near_dups": q_embedding_near_dups,
 }

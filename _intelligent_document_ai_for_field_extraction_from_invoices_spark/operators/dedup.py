@@ -75,21 +75,34 @@ def shingle_pairs(df: DataFrame, key: str = "doc_id", text_col: str = "text",
                   max_bucket: int = 64) -> DataFrame:
     """Candidate near-dup pairs sharing >= min_shared distinct n-gram shingles.
 
-    Inverted-index self-join on the shingle digest; buckets larger than
-    `max_bucket` are dropped (hot-shingle cap — the skew guard that keeps the
-    self-join from exploding at scale)."""
+    Inverted index WITHOUT a self-join: after the hot-shingle cap, each
+    bucket holds <= max_bucket doc ids, so the pair set is generated
+    in-bucket from one `collect_list` (nested array transforms, native) —
+    one full shuffle of the shingle stream instead of two join sides, and
+    no reliance on caching the stream. The cap (`_cap_hot_keys`) is what
+    makes the collect_list safe: bucket size is bounded BEFORE buffering."""
     ex = (
         df.filter(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n)
         .select(F.col(key).alias("k"),
                 F.explode(F.array_distinct(_shingles(text_col, n))).alias("sh"))
     )
     capped = _cap_hot_keys(ex, ["sh"], max_bucket)
-    a = capped.alias("a")
-    b = capped.alias("b")
+    buckets = (
+        capped.groupBy("sh").agg(F.collect_list("k").alias("ks"))
+        .filter(F.size("ks") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(F.flatten(F.transform(
+            F.col("ks"),
+            lambda x: F.transform(
+                F.filter(F.col("ks"), lambda y: y > x),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        ))).alias("p")
+    )
     return (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.k") < F.col("b.k")))
-        .groupBy(F.col("a.k").alias("doc_a"), F.col("b.k").alias("doc_b"))
-        .agg(F.count("*").alias("n_shared"))
+        pairs.select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
 

@@ -62,14 +62,59 @@ def label_centroid_norms(emb: DataFrame, vec_col: str = "embedding") -> DataFram
     )
 
 
+def kmeans_centroids(emb: DataFrame, num_centroids: int = 8, iters: int = 2,
+                     key: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding column — the trained
+    replacement for the seeded IVF centroids (upgrade path the round-1
+    docstring promised).
+
+    Everything is native DataFrame ops: init centroids = per-(key % k)
+    element-wise means (posexplode -> groupBy(cluster, pos) avg), each
+    iteration broadcasts the k x dim centroid table, assigns by cosine with
+    an explicit (sim desc, centroid_id asc) tie-break, and recomputes means.
+    Deterministic given the data: no random init, fixed iteration count.
+    Per-iteration cost is one shuffle of n x dim (pos, val) rows — the
+    standard distributed-k-means profile; k and dim are small so every
+    centroid table broadcast is trivial."""
+    ex = emb.select(F.col(key).alias("k"), F.col(vec_col).alias("v"))
+    # init: element-wise mean per (key % num_centroids) bucket
+    assigned = ex.select(
+        (F.col("k") % num_centroids).cast("int").alias("cid"), "v")
+    for _ in range(iters + 1):
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
+            .select(F.col("cid").alias("centroid_id"),
+                    F.transform("ps", lambda s: s["m"]).alias("cvec"))
+        )
+        # reassign by cosine against the fresh centroids
+        scored = ex.join(F.broadcast(cents)).select(
+            "k", "v", "centroid_id",
+            cosine_col(F.col("v"), F.col("cvec")).alias("sim"),
+        )
+        w = Window.partitionBy("k").orderBy(F.desc("sim"), F.asc("centroid_id"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("centroid_id").alias("cid"), "v")
+        )
+    return cents
+
+
 def ivf_assign(emb: DataFrame, num_centroids: int = 8, key: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest centroid by cosine. Centroids are the
-    vectors with key < num_centroids (deterministic seed choice — no k-means
-    iterations needed for a correctness-gated sandbox; swap in trained
-    centroids at scale). Centroid table is broadcast; argmax via window with
-    explicit tie-break."""
-    cents = emb.filter(F.col(key) < num_centroids).select(
+               vec_col: str = "embedding",
+               centroids: DataFrame | None = None) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine. Default
+    centroids are the vectors with key < num_centroids (deterministic seed
+    choice, reproducible in the ANSI oracles); pass `centroids` (e.g. from
+    `kmeans_centroids`) for trained buckets at scale. Centroid table is
+    broadcast; argmax via window with explicit tie-break."""
+    cents = centroids if centroids is not None else emb.filter(
+        F.col(key) < num_centroids
+    ).select(
         F.col(key).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
     scored = emb.select(key, vec_col).join(F.broadcast(cents)).select(
@@ -114,9 +159,11 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
 
 def ivf_ann_query(emb: DataFrame, query_vec_id: int, k: int = 5,
                   num_centroids: int = 8, key: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k probing only the query's IVF bucket (1/C of the data)."""
-    assign = ivf_assign(emb, num_centroids, key, vec_col)
+                  vec_col: str = "embedding",
+                  centroids: DataFrame | None = None) -> DataFrame:
+    """ANN top-k probing only the query's IVF bucket (1/C of the data).
+    Pass `centroids` (e.g. kmeans_centroids) for trained buckets."""
+    assign = ivf_assign(emb, num_centroids, key, vec_col, centroids=centroids)
     q_bucket = assign.filter(F.col(key) == query_vec_id).select(
         F.col("centroid_id").alias("qc")
     )

@@ -1,0 +1,66 @@
+"""Lloyd k-means centroids for IVF (the trained upgrade over seed choice)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+    similarity as sim,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Three well-separated clusters on coordinate axes (deterministic)."""
+    rows = []
+    for i in range(90):
+        c = i % 3
+        base = [0.0, 0.0, 0.0, 0.0]
+        base[c] = 10.0
+        # small deterministic jitter on a different axis
+        base[3] = (i % 7) * 0.01
+        rows.append((i, c, base))
+    return spark.createDataFrame(
+        rows, "vec_id long, true_cluster int, embedding array<double>")
+
+
+def test_kmeans_recovers_separated_clusters(spark, clustered):
+    cents = sim.kmeans_centroids(clustered, num_centroids=3, iters=2)
+    got = cents.collect()
+    assert len(got) == 3
+    # each centroid points along exactly one of the three cluster axes
+    axes = sorted(max(range(3), key=lambda d: r.cvec[d]) for r in got)
+    assert axes == [0, 1, 2]
+    # assignment groups members with their true cluster
+    assign = sim.ivf_assign(clustered, centroids=cents)
+    joined = {r.vec_id: r.centroid_id for r in assign.collect()}
+    by_true = {}
+    for r in clustered.collect():
+        by_true.setdefault(r.true_cluster, set()).add(joined[r.vec_id])
+    # every true cluster maps to exactly one centroid, all distinct
+    assert all(len(v) == 1 for v in by_true.values())
+    assert len({next(iter(v)) for v in by_true.values()}) == 3
+
+
+def test_kmeans_is_deterministic(spark, clustered):
+    a = sorted(map(tuple, sim.kmeans_centroids(clustered, 3, 1).collect()))
+    b = sorted(map(tuple, sim.kmeans_centroids(clustered, 3, 1).collect()))
+    assert a == b
+
+
+def test_ivf_ann_with_kmeans_matches_brute_force_topk(spark, clustered):
+    """On well-separated clusters the kmeans-IVF probe returns the same
+    top-k as brute force (the query's true neighbors share its bucket)."""
+    cents = sim.kmeans_centroids(clustered, num_centroids=3, iters=2)
+    ann = sim.ivf_ann_query(clustered, query_vec_id=0, k=5, centroids=cents)
+    bf = sim.cosine_knn(clustered, query_vec_id=0, k=5)
+    assert [r.vec_id for r in ann.collect()] == [r.vec_id for r in bf.collect()]
+
+
+def test_centroid_vectors_are_unit_scale_means(spark, clustered):
+    """Centroid = element-wise mean of its members (axis value ~10.0)."""
+    cents = sim.kmeans_centroids(clustered, num_centroids=3, iters=2)
+    for r in cents.collect():
+        peak = max(r.cvec)
+        assert math.isclose(peak, 10.0, rel_tol=1e-9)
