@@ -101,6 +101,44 @@ _WORDS = "string_split_regex(trim(text), '\\s+')"
 # ---------------------------------------------------------------------------
 
 
+def q_canonical_urls(spark, sf_dir):
+    """URL canonicalization (web-pipeline dedup primitive): noisy URLs are
+    synthesised from doc_id arithmetic (mixed-case scheme/host, default
+    ports, tracking params, fragments, bare root slashes) and normalised by
+    functions.text.canonical_url; the oracle builds the identical noisy URL
+    in SQL and applies the generated canonical_url_sql chain."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("HTTPS://H"), (F.col("doc_id") % 16).cast("string"),
+                    F.lit(".Example.COM"))
+    port = F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(
+        F.concat(
+            F.lit("/doc-"), did,
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("?utm_source=x&id="), did))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.lit("?id="), did, F.lit("&utm_campaign=y#frag")))
+            .otherwise(F.lit("")),
+        ))
+    noisy = F.concat(host, port, path)
+    return d.select(
+        "doc_id",
+        textfn.canonical_url(noisy).alias("canon_url"),
+    )
+
+
+_NOISY_URL_SQL = """(
+    'HTTPS://H' || (doc_id % 16) || '.Example.COM'
+    || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN '/'
+            ELSE '/doc-' || doc_id ||
+                 CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || doc_id
+                      WHEN doc_id % 3 = 1 THEN '?id=' || doc_id || '&utm_campaign=y#frag'
+                      ELSE '' END
+       END)"""
+
+
 def q_extract_title(spark, sf_dir):
     return extraction_results(spark, sf_dir).select("doc_id", "title")
 
@@ -790,6 +828,9 @@ ORACLES: dict[str, str] = {
         FROM p
         JOIN t ta ON ta.doc_id = doc_a
         JOIN t tb ON tb.doc_id = doc_b""",
+    "q_canonical_urls": f"""
+        SELECT doc_id, {textfn.canonical_url_sql(_NOISY_URL_SQL)} AS canon_url
+        FROM documents""",
     "q_minhash_lsh_pairs": _minhash_oracle_sql(),
     "q_simhash_near_dups": _simhash_oracle_sql(),
     "q_pii_redaction": """
@@ -914,6 +955,7 @@ QUERIES = {
     "q_knn_cosine_vec0": q_knn_cosine_vec0,
     "q_label_centroid_norms": q_label_centroid_norms,
     "q_ivf_ann_vec1": q_ivf_ann_vec1,
+    "q_canonical_urls": q_canonical_urls,
     "q_ivf_kmeans_ann_vec1": q_ivf_kmeans_ann_vec1,  # rows-only (iterative)
     "q_embedding_near_dups": q_embedding_near_dups,
 }

@@ -210,3 +210,55 @@ def nfkc_normalize_py(x: str) -> str:
 
 # sanity: the UDF and the pure fn must agree (used by tests)
 _SELFTEST = re.compile(r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — web-pipeline dedup primitive. One step table drives
+# BOTH the Spark column chain and the DuckDB oracle SQL, so the two can never
+# drift. Patterns are RE2-compatible (no lookaheads — DuckDB is RE2) and
+# replacements carry groups as \N (rewritten to $N for Spark/Java).
+# ---------------------------------------------------------------------------
+
+_URL_PREFIX = r"(?i)^(https?://[^/?#]*)"
+
+# (pattern, replacement-with-\N-groups) applied in order
+_CANON_STEPS = [
+    (r"#.*$", ""),                                           # drop fragment
+    (r"(utm_[a-z]+|fbclid|gclid|mc_cid|mc_eid)=[^&#]*", ""),  # tracking params
+    (r"&&+", "&"),                                           # tidy separators
+    (r"\?&", "?"),
+    (r"[?&]+$", ""),
+    (r"^(http://[^/?#:]*):80([/?#].*)?$", r"\1\2"),          # default ports
+    (r"^(https://[^/?#:]*):443([/?#].*)?$", r"\1\2"),
+    (r"^(https?://[^/?#]*)/$", r"\1"),                       # bare root slash
+]
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form for exact-URL dedup: drop fragment, strip tracking
+    params and tidy ?/&, lowercase scheme+host, drop default ports, drop a
+    bare root trailing slash. Chained native regexp_replace; the ANSI oracle
+    is generated from the same `_CANON_STEPS` (see canonical_url_sql)."""
+    u = col
+    for i, (pat, repl) in enumerate(_CANON_STEPS):
+        if i == 5:  # lowercase scheme+host before the port/slash steps
+            u = F.concat(F.lower(F.regexp_extract(u, _URL_PREFIX, 1)),
+                         F.regexp_replace(u, _URL_PREFIX, ""))
+        u = F.regexp_replace(u, pat, re.sub(r"\\(\d)", r"$\1", repl))
+    return u
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB expression equivalent to canonical_url(col), generated from
+    the same step table ('g' flag: DuckDB replaces first match only by
+    default, Spark replaces all)."""
+    u = expr
+    for i, (pat, repl) in enumerate(_CANON_STEPS):
+        if i == 5:
+            p = _URL_PREFIX.replace("'", "''")
+            u = (f"lower(regexp_extract({u}, '{p}', 1)) || "
+                 f"regexp_replace({u}, '{p}', '')")
+        sp = pat.replace("'", "''")
+        sr = repl.replace("'", "''")
+        u = f"regexp_replace({u}, '{sp}', '{sr}', 'g')"
+    return u
