@@ -16,3 +16,41 @@ def test_stateful_stream_matches_batch(spark):
     exp = {r.user_id: (r.n_sessions, r.n_events)
            for r in session_counts(ev).collect()}
     assert got == exp
+
+
+def test_streaming_extraction_byte_identity(spark, documents, tmp_path):
+    """The flagship extraction operator runs UNCHANGED over readStream and
+    reproduces the batch result byte-for-byte (multi-micro-batch)."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark import datagen
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators.extract import (
+        extract_pages,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.streaming import (
+        extract_stream,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    datagen.pages_from_documents(documents).repartition(6).write.parquet(pages_dir)
+
+    batch = {r.url: (r.body_text, r.status)
+             for r in extract_pages(spark.read.parquet(pages_dir)).collect()}
+    streamed = {r.url: (r.body_text, r.status)
+                for r in extract_stream.extraction_stream(
+                    spark, pages_dir, files_per_trigger=2).collect()}
+    assert streamed == batch
+    assert len(streamed) == 500
+
+
+def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.streaming import (
+        extract_stream,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other text")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(docs_dir)
+    out = extract_stream.exact_dedup_stream(spark, docs_dir).collect()
+    assert len(out) == 2
+    assert {r.text for r in out} == {"same text", "other text"}
