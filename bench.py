@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "q_session_counts",
     "q_event_type_summary",
     "q_exact_dedup",
+    "q_canonical_urls",
     "q_ngram_jaccard_pairs",
     "q_minhash_lsh_pairs",
     "q_simhash_near_dups",
