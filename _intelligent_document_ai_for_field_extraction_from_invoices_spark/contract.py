@@ -506,6 +506,13 @@ def q_ivf_ann_vec1(spark, sf_dir):
     return similarity.ivf_ann_query(_t(spark, sf_dir, "embeddings"), 1, k=5)
 
 
+def q_ivf_ann_multiprobe(spark, sf_dir):
+    """Multi-probe IVF ANN: probe the query's 3 nearest buckets (the
+    recall/cost dial between single-probe and brute force)."""
+    return similarity.ivf_ann_query(_t(spark, sf_dir, "embeddings"), 2, k=8,
+                                    num_probes=3)
+
+
 def q_ivf_kmeans_ann_vec1(spark, sf_dir):
     """ANN probe with TRAINED (Lloyd k-means) IVF centroids — rows-only
     check: fixed-iteration k-means is deterministic but iterative, the
@@ -916,6 +923,40 @@ ORACLES: dict[str, str] = {
         FROM embeddings e JOIN members USING (vec_id), q
         WHERE e.vec_id <> 1
         ORDER BY cos_sim DESC, e.vec_id LIMIT 5""",
+    "q_ivf_ann_multiprobe": """
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8
+        ), scored AS (
+          SELECT e.vec_id, c.centroid_id,
+                 round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                              c.cvec::DOUBLE[]), 6) AS sim
+          FROM embeddings e, cents c
+        ), assign AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        ), q AS (
+          SELECT embedding AS qvec FROM embeddings WHERE vec_id = 2
+        ), probed AS (
+          SELECT c.centroid_id
+          FROM cents c, q
+          ORDER BY round(list_cosine_similarity(c.cvec::DOUBLE[],
+                                                q.qvec::DOUBLE[]), 6) DESC,
+                   c.centroid_id
+          LIMIT 3
+        ), members AS (
+          SELECT a.vec_id FROM assign a JOIN probed USING (centroid_id)
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.qvec::DOUBLE[]), 6) AS cos_sim
+        FROM embeddings e JOIN members USING (vec_id), q
+        WHERE e.vec_id <> 2
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 8""",
 }
 
 QUERIES = {
@@ -955,6 +996,7 @@ QUERIES = {
     "q_knn_cosine_vec0": q_knn_cosine_vec0,
     "q_label_centroid_norms": q_label_centroid_norms,
     "q_ivf_ann_vec1": q_ivf_ann_vec1,
+    "q_ivf_ann_multiprobe": q_ivf_ann_multiprobe,
     "q_canonical_urls": q_canonical_urls,
     "q_ivf_kmeans_ann_vec1": q_ivf_kmeans_ann_vec1,  # rows-only (iterative)
     "q_embedding_near_dups": q_embedding_near_dups,

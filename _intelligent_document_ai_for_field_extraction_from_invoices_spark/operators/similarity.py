@@ -160,18 +160,27 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
 def ivf_ann_query(emb: DataFrame, query_vec_id: int, k: int = 5,
                   num_centroids: int = 8, key: str = "vec_id",
                   vec_col: str = "embedding",
-                  centroids: DataFrame | None = None) -> DataFrame:
-    """ANN top-k probing only the query's IVF bucket (1/C of the data).
-    Pass `centroids` (e.g. kmeans_centroids) for trained buckets."""
-    assign = ivf_assign(emb, num_centroids, key, vec_col, centroids=centroids)
-    q_bucket = assign.filter(F.col(key) == query_vec_id).select(
-        F.col("centroid_id").alias("qc")
-    )
-    bucket_members = (
-        assign.join(F.broadcast(q_bucket), assign.centroid_id == F.col("qc"))
-        .select(key)
-    )
+                  centroids: DataFrame | None = None,
+                  num_probes: int = 1) -> DataFrame:
+    """ANN top-k probing the query's `num_probes` nearest IVF buckets
+    (num_probes/C of the data — the standard recall/cost dial: 1 = fastest,
+    C = exact brute force). Pass `centroids` (e.g. kmeans_centroids) for
+    trained buckets. Probed-centroid choice and the final top-k both carry
+    explicit tie-breaks so results are deterministic."""
+    cents = centroids if centroids is not None else emb.filter(
+        F.col(key) < num_centroids
+    ).select(F.col(key).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+    assign = ivf_assign(emb, num_centroids, key, vec_col, centroids=cents)
     q = emb.filter(F.col(key) == query_vec_id).select(F.col(vec_col).alias("qvec"))
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select("centroid_id",
+                F.round(cosine_col(F.col("cvec"), F.col("qvec")), 6).alias("qsim"))
+        .orderBy(F.desc("qsim"), F.asc("centroid_id"))
+        .limit(num_probes)
+        .select("centroid_id")
+    )
+    bucket_members = assign.join(F.broadcast(probed), "centroid_id").select(key)
     return (
         emb.join(bucket_members, key)
         .filter(F.col(key) != query_vec_id)

@@ -77,3 +77,23 @@ def test_body_assembly_separator_discipline(tags, seed):
     assert "\n\n" not in body
     if body:
         assert r["body_span_len"] == len(body)
+
+
+@given(st.text(alphabet=st.characters(
+    codec="utf-8", categories=("L", "N", "P", "Z")), max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_ml_pattern_banks_never_raise(s):
+    """The multilingual byline/date banks must be total over arbitrary
+    mixed-script text (fuzz incl. Devanagari/Gujarati codepoints)."""
+    import re as _re
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark import golden
+
+    m = golden._BYLINE_ML_RE.match(s)
+    if m:
+        assert isinstance(golden._valid_byline(m.group(1)), bool)
+    d = golden._parse_date_any(s)
+    if d is not None:
+        assert _re.fullmatch(r"\d{4}-\d{2}-\d{2}", d)
+        y = int(d[:4])
+        assert 1990 <= y <= 2030
