@@ -82,3 +82,85 @@ def synthetic_assets(spark, n: int = 64) -> DataFrame:
         rows.append((i, kinds[i % 3], bytearray(payload),
                      64 + i % 128, 64 + i % 64, i % 30))
     return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "asset_id long, frame_idx int, n_frames int, frame_bytes long, "
+    "frame_digest string"
+)
+
+
+def fake_split_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic fake frame splitter: slices the payload into n_frames
+    even chunks (stand-in for an ffmpeg demux; same output shape)."""
+    if not payload or n_frames <= 0:
+        return []
+    step = max(1, len(payload) // n_frames)
+    return [payload[i * step:(i + 1) * step] for i in range(n_frames)]
+
+
+def sample_frames(assets: DataFrame, every_n: int = 5,
+                  decoder: str = "fake") -> DataFrame:
+    """Video frame sampling: one input asset row -> one output row per kept
+    frame (frame_idx % every_n == 0). The 1->many mapInPandas shape is the
+    real scale concern (a 2-hour video explodes into thousands of rows);
+    emitting one pandas frame per INPUT row keeps worker memory bounded by
+    a single asset's kept frames, never a whole batch of videos."""
+    if decoder != "fake":
+        real_decode_features(b"")  # raises NotImplementedError, marked stub
+
+    def run(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                frames = fake_split_frames(row["payload"], int(row["n_frames"]))
+                kept = [(i, f) for i, f in enumerate(frames) if i % every_n == 0]
+                if not kept:
+                    continue
+                yield pd.DataFrame({
+                    "asset_id": [row["asset_id"]] * len(kept),
+                    "frame_idx": [i for i, _ in kept],
+                    "n_frames": [len(frames)] * len(kept),
+                    "frame_bytes": [len(f) for _, f in kept],
+                    "frame_digest": [hashlib.md5(f).hexdigest() for _, f in kept],
+                })
+
+    return (
+        assets.filter(F.col("kind") == "video")
+        .select("asset_id", "payload", "n_frames")
+        .mapInPandas(run, schema=FRAME_SCHEMA)
+    )
+
+
+WINDOW_SCHEMA = (
+    "asset_id long, window_idx int, window_bytes long, window_digest string"
+)
+
+
+def audio_windows(assets: DataFrame, window_bytes: int = 1024,
+                  decoder: str = "fake") -> DataFrame:
+    """Audio windowing: fixed-size byte windows per audio asset (stand-in
+    for PCM frame windows; the chunk arithmetic and 1->many plumbing are the
+    real part, the codec is the stub)."""
+    if decoder != "fake":
+        real_decode_features(b"")
+
+    def run(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                p = row["payload"] or b""
+                wins = [p[i:i + window_bytes]
+                        for i in range(0, len(p), window_bytes)]
+                if not wins:
+                    continue
+                yield pd.DataFrame({
+                    "asset_id": [row["asset_id"]] * len(wins),
+                    "window_idx": list(range(len(wins))),
+                    "window_bytes": [len(w) for w in wins],
+                    "window_digest": [hashlib.md5(w).hexdigest() for w in wins],
+                })
+
+    return (
+        assets.filter(F.col("kind") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema=WINDOW_SCHEMA)
+    )

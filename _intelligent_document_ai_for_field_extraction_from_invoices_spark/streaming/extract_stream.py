@@ -61,3 +61,27 @@ def exact_dedup_stream(spark: SparkSession, docs_dir: str,
     )
     spark, name = _drain_to_memory(deduped, "dedup", "append")
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def extraction_stream_query(spark: SparkSession, pages_dir: str,
+                            out_dir: str, checkpoint_dir: str,
+                            num_partitions: int = 8,
+                            files_per_trigger: int | None = None):
+    """Start (without draining) a streaming extraction that appends parquet
+    with a checkpoint. Stopping the query and restarting with the SAME
+    checkpoint resumes exactly-once from the last committed micro-batch —
+    the streaming analogue of the batch pipeline's partition checkpoint
+    (plans/lineage.py). Returns the live StreamingQuery."""
+    schema = spark.read.parquet(pages_dir).schema
+    reader = spark.readStream.schema(schema)
+    if files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    stream = reader.parquet(pages_dir)
+    results = extract_pages(stream, num_partitions=num_partitions)
+    return (
+        results.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

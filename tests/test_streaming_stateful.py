@@ -54,3 +54,52 @@ def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
     out = extract_stream.exact_dedup_stream(spark, docs_dir).collect()
     assert len(out) == 2
     assert {r.text for r in out} == {"same text", "other text"}
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, documents, tmp_path):
+    """Kill a checkpointed streaming extraction mid-run, restart with the
+    same checkpoint: every url appears exactly once in the sink (file-source
+    + checkpoint = exactly-once), byte-identical to batch."""
+    import time
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark import datagen
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators.extract import (
+        extract_pages,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.streaming import (
+        extract_stream,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    datagen.pages_from_documents(documents).repartition(8).write.parquet(pages_dir)
+
+    # phase 1: stop after at least one committed micro-batch (1 file each)
+    q = extract_stream.extraction_stream_query(
+        spark, pages_dir, out_dir, ckpt, files_per_trigger=1)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(done) >= 2:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(60)
+    n_partial = spark.read.parquet(out_dir).count()
+    assert 0 < n_partial < 500  # genuinely mid-stream
+
+    # phase 2: restart with the same checkpoint; drain to completion
+    q2 = extract_stream.extraction_stream_query(
+        spark, pages_dir, out_dir, ckpt, files_per_trigger=3)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(60)
+
+    got = {r.url: r.body_text
+           for r in spark.read.parquet(out_dir).collect()}
+    rows = spark.read.parquet(out_dir).count()
+    assert rows == len(got) == 500  # exactly once, no dup urls
+    batch = {r.url: r.body_text
+             for r in extract_pages(spark.read.parquet(pages_dir)).collect()}
+    assert got == batch
