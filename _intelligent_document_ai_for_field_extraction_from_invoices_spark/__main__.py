@@ -34,6 +34,9 @@ def main(argv=None) -> None:
     ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--cores", default=None)
     ap.add_argument("--run-id", default="cli-run")
+    ap.add_argument("--vacuum", action="store_true",
+                    help="after the run, delete data files not referenced by"
+                         " current snapshots (expired/rolled-back commits)")
     args = ap.parse_args(argv)
 
     spark = get_spark("webtext-extract-cli", cores=args.cores)
@@ -45,6 +48,12 @@ def main(argv=None) -> None:
     stats = lineage.run_extraction(
         spark, pages, catalog, args.run_id, num_partitions=args.partitions
     )
+
+    n_vacuumed = 0
+    if args.vacuum:
+        for t in (lineage.RESULTS_TABLE, lineage.LINEAGE_TABLE,
+                  lineage.CHECKPOINT_TABLE):
+            n_vacuumed += catalog.vacuum(t)
 
     results = catalog.read(spark, lineage.RESULTS_TABLE)
     summary = results.agg(
@@ -62,6 +71,7 @@ def main(argv=None) -> None:
         "tables": {t: len(catalog.snapshots(t)) for t in
                    (lineage.RESULTS_TABLE, lineage.LINEAGE_TABLE,
                     lineage.CHECKPOINT_TABLE)},
+        "files_vacuumed": n_vacuumed,
     }))
 
 
