@@ -63,7 +63,10 @@ def extraction_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _RESULTS_CACHE:
         while len(_RESULTS_CACHE) >= _RESULTS_CACHE_MAX:
-            _, old = _RESULTS_CACHE.popitem()
+            # evict the OLDEST insertion (dict.popitem() is LIFO and would
+            # evict the hottest entry while pinning the oldest forever)
+            oldest = next(iter(_RESULTS_CACHE))
+            old = _RESULTS_CACHE.pop(oldest)
             try:
                 old.unpersist()
             except Exception:  # noqa: BLE001 — session may already be stopped

@@ -221,10 +221,13 @@ _SELFTEST = re.compile(r"\s+")
 
 _URL_PREFIX = r"(?i)^(https?://[^/?#]*)"
 
-# (pattern, replacement-with-\N-groups) applied in order
+# (pattern, replacement-with-\N-groups) applied in order. The tracking-param
+# pattern is anchored to a preceding ?/& (kept via \1) so it can never eat a
+# param whose NAME merely contains a tracking name ('myfbclid=') or a path
+# segment that happens to contain 'utm_...' (no & terminator there).
 _CANON_STEPS = [
     (r"#.*$", ""),                                           # drop fragment
-    (r"(utm_[a-z]+|fbclid|gclid|mc_cid|mc_eid)=[^&#]*", ""),  # tracking params
+    (r"([?&])(?:utm_[a-z]+|fbclid|gclid|mc_cid|mc_eid)=[^&#]*", r"\1"),
     (r"&&+", "&"),                                           # tidy separators
     (r"\?&", "?"),
     (r"[?&]+$", ""),

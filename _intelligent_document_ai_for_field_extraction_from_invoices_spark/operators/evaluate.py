@@ -140,7 +140,15 @@ def performance_metrics(lineage_df: DataFrame) -> DataFrame:
     """A8: measured throughput from lineage wall_ms — the ref's runtime
     formulas (docs/hour = n / (sum proc_time / 3600), evaluate.py:443-446;
     pages/sec = 1 / mean(page_time), ocr.py:638) over real per-partition UDF
-    wall time rather than byte estimates."""
+    wall time rather than byte estimates. Lineage written without timings
+    (pre-wall_ms tables, or extract_pages without with_timings) falls back
+    to the byte estimate, like cost_metrics."""
+    if "wall_ms" in lineage_df.columns:
+        ms = F.coalesce(F.col("wall_ms"),
+                        F.col("bytes_out") / F.lit(2_000.0))
+    else:
+        ms = F.col("bytes_out") / F.lit(2_000.0)  # ~2 MB/s -> ms
+    lineage_df = lineage_df.withColumn("wall_ms", ms)
     sec = F.sum("wall_ms") / 1000.0
     return lineage_df.agg(
         F.sum("n_rows").alias("n_docs"),

@@ -161,9 +161,9 @@ def _month_map():
 _ISO = r"(\d{4}-\d{2}-\d{2})"
 _TEXTUAL = (r"(January|February|March|April|May|June|July|August|September|"
             r"October|November|December)\s+(\d{1,2}),?\s+(\d{4})")
-_TEXTUAL_ML = (r"(\d{1,2})\s+("
-               + "|".join([*golden.MONTHS_HI, *golden.MONTHS_GU])
-               + r")\s+(\d{4})")
+# reuse golden's compiled pattern text (Java-regex compatible) so the ML
+# banks cannot drift between the twins — same discipline as _CANON_STEPS
+_TEXTUAL_ML = golden._DATE_TEXT_ML_RE.pattern
 
 
 def _ml_month_map():
@@ -273,9 +273,7 @@ def field_candidates(nodes: DataFrame) -> DataFrame:
         _valid_byline_native(t)
     )
     by_rx = r"^[Bb]y[:\s]\s*([A-Z][\w.'’-]*(?:\s+[A-Z][\w.'’-]*){0,3})"
-    ind = golden._INDIC
-    by_rx_ml = (rf"^(?:द्वारा|લેખક)[:\s]\s*([{ind}][{ind}.'’-]*"
-                rf"(?:\s+[{ind}][{ind}.'’-]*){{0,3}})")
+    by_rx_ml = golden._BYLINE_ML_RE.pattern  # shared source of truth
     by_text = (
         real.filter((F.col("node_idx") < 25) & ~F.col("boiler"))
         .withColumn("m_en", F.regexp_extract("text", by_rx, 1))

@@ -148,10 +148,14 @@ class Catalog:
         if not snaps:
             return 0
         cur = self._read_current(table)
-        # never GC files visible from _current, nor from the newest N snaps
-        keep: set[str] = set(cur["files"]) if cur else set()
-        for s in snaps[-keep_versions:]:
-            keep.update(s["files"])
+        # never GC files visible from _current, nor from the newest N snaps.
+        # Liveness is compared on REALPATHS: the catalog may be opened with a
+        # different spelling of the same root (relative vs absolute vs
+        # symlinked) than the one that wrote the manifests, and a naive
+        # string comparison would then see every live file as dead.
+        keep: set[str] = set()
+        for s in ([cur] if cur else []) + snaps[-keep_versions:]:
+            keep.update(os.path.realpath(f) for f in s["files"])
         data_root = os.path.join(self._tdir(table), "data")
         if not os.path.isdir(data_root):
             return 0
@@ -162,7 +166,7 @@ class Catalog:
                 continue
             parquets = [os.path.join(sdir, f) for f in os.listdir(sdir)
                         if f.endswith(".parquet")]
-            live = [p for p in parquets if p in keep]
+            live = [p for p in parquets if os.path.realpath(p) in keep]
             if not live:
                 # whole staging commit expired: drop it with its markers
                 import shutil  # noqa: PLC0415
@@ -171,7 +175,7 @@ class Catalog:
                 shutil.rmtree(sdir)
             else:
                 for p in parquets:
-                    if p not in keep:
+                    if os.path.realpath(p) not in keep:
                         os.remove(p)
                         n += 1
         return n
