@@ -26,8 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 class Catalog:
     def __init__(self, root: str):
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+        # realpath at construction: a relative root would otherwise resolve
+        # against the Python cwd for manifest/listdir paths but against the
+        # JVM's launch cwd for df.write, and those can drift apart mid-
+        # session; pinning one absolute spelling removes the whole class of
+        # split-brain paths (vacuum additionally realpaths per-file)
+        self.root = os.path.realpath(root)
+        os.makedirs(self.root, exist_ok=True)
 
     # -- paths --------------------------------------------------------------
     def _tdir(self, table: str) -> str:
