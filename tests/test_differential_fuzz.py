@@ -1,0 +1,96 @@
+"""Seeded differential fuzz: random adversarial pages through BOTH the
+golden extractor and the native relational twin, asserting field/body parity.
+
+The synthetic corpus is regular by construction, so corpus-driven tests
+cannot see paths like duplicate metas, blank metas, self-closed anchors, or
+heading-only bodies (round-1 advisor findings all lived there). This test
+generates ~150 irregular pages from a fixed seed covering those shapes and
+checks the twins agree on every one."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark import golden
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+    nodes as nodes_op,
+)
+
+WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa quebec romeo sierra tango").split()
+AUTHOR_POOL = ["Jane Doe", "Bob Q. Lee", "अर्जुन शर्मा", "રીના શાહ",
+               "lowercase name", "X", "Staff"]
+META_KEYS = ["og:title", "twitter:title", "author", "article:author",
+             "parsely-author", "article:published_time", "date", "pubdate",
+             "dc.date", "unrelated:key"]
+
+
+def _page(rng: random.Random) -> bytes:
+    parts = ["<html><head>"]
+    # 0-6 metas, possibly duplicated keys, possibly blank content
+    for _ in range(rng.randint(0, 6)):
+        key = rng.choice(META_KEYS)
+        content = rng.choice([
+            "", "   ", " ".join(rng.choices(WORDS, k=rng.randint(1, 8))),
+            rng.choice(AUTHOR_POOL),
+            f"{rng.randint(1980, 2040)}-{rng.randint(1, 13):02d}-{rng.randint(1, 32):02d}",
+            "March 5, 2024", "15 जनवरी 2024",
+        ])
+        parts.append(f'<meta property="{key}" content="{content}">')
+    if rng.random() < 0.5:
+        parts.append(f"<title>{' '.join(rng.choices(WORDS, k=4))}</title>")
+    parts.append("</head><body>")
+    for _ in range(rng.randint(0, 10)):
+        kind = rng.randrange(9)
+        text = " ".join(rng.choices(WORDS, k=rng.randint(1, 30)))
+        if kind == 0:
+            parts.append(f"<h{rng.randint(1, 3)}>{text[:60]}</h{rng.randint(1, 3)}>")
+        elif kind == 1:
+            parts.append(f'<div class="byline">By {rng.choice(AUTHOR_POOL)}'
+                         f" &mdash; {rng.choice(['March 5, 2024', '15 जनवरी 2024', '2024-03-05', 'no date here'])}</div>")
+        elif kind == 2:
+            parts.append(f"<p><a href='/x'/>{text}</p>")       # self-closed anchor
+        elif kind == 3:
+            parts.append(f"<p><a href='/y'>{text}</a></p>")    # all-link block
+        elif kind == 4:
+            parts.append(f'<div class="sidebar menu">{text}</div>')
+        elif kind == 5:
+            parts.append(f"<p>{text}")                          # unclosed p
+        elif kind == 6:
+            parts.append(f'<time datetime="{rng.randint(1980, 2040)}-0{rng.randint(1, 9)}-1{rng.randint(0, 9)}">d</time>')
+        elif kind == 7:
+            parts.append(f"<p>द्वारा {rng.choice(AUTHOR_POOL)}</p>")
+        else:
+            parts.append(f"<p>{text}</p>")
+    parts.append("</body></html>")
+    return "".join(parts).encode()
+
+
+@pytest.fixture(scope="module")
+def fuzz_pages():
+    rng = random.Random(0xC0FFEE)
+    return [(f"fuzz-{i}", _page(rng)) for i in range(150)]
+
+
+def test_native_twin_parity_on_adversarial_pages(spark, fuzz_pages):
+    exp = {u: golden.extract_page(u, h) for u, h in fuzz_pages}
+    df = spark.createDataFrame(
+        [(u, bytearray(h)) for u, h in fuzz_pages], "url string, html binary")
+    nd = nodes_op.tokenize_nodes(df).cache()
+    fields = {r.url: r for r in nodes_op.best_fields(nd).collect()}
+    bodies = {r.url: r for r in nodes_op.assemble_body_native(nd).collect()}
+    mismatches = []
+    for u, e in exp.items():
+        f = fields.get(u)
+        got = (getattr(f, "title", None), getattr(f, "byline", None),
+               getattr(f, "pub_date", None))
+        want = (e["title"], e["byline"], e["pub_date"])
+        if got != want:
+            mismatches.append((u, "fields", want, got))
+        b = bodies.get(u)
+        got_body = b.body_text if b is not None else ""
+        if got_body != e["body_text"]:
+            mismatches.append((u, "body", e["body_text"][:60],
+                               got_body[:60]))
+    assert not mismatches, mismatches[:5]
