@@ -85,3 +85,34 @@ def extraction_stream_query(spark: SparkSession, pages_dir: str,
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_to_catalog(spark: SparkSession, pages_dir: str, catalog,
+                      table: str, checkpoint_dir: str,
+                      num_partitions: int = 8,
+                      files_per_trigger: int | None = None):
+    """Streaming extraction into an Iceberg-style Catalog table, exactly
+    once: each micro-batch is appended inside `foreachBatch` tagged with a
+    deterministic txn id ('stream:<table>:<batch_id>'). Structured
+    Streaming may RE-RUN a batch after a crash-restart (foreachBatch is
+    at-least-once); the txn check makes the replay a no-op, upgrading the
+    sink to exactly-once — the same marker discipline as the batch
+    pipeline's checkpoint commit (plans/lineage.py). Returns the query."""
+    schema = spark.read.parquet(pages_dir).schema
+    reader = spark.readStream.schema(schema)
+    if files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    stream = reader.parquet(pages_dir)
+    results = extract_pages(stream, num_partitions=num_partitions)
+
+    def write_batch(df, batch_id: int):
+        txn = f"stream:{table}:{batch_id}"
+        if catalog.exists(table) and txn in catalog.txns(table):
+            return  # replayed micro-batch: already durably committed
+        catalog.append(table, df, txn=txn)
+
+    return (
+        results.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -103,3 +103,49 @@ def test_streaming_checkpoint_restart_exactly_once(spark, documents, tmp_path):
     batch = {r.url: r.body_text
              for r in extract_pages(spark.read.parquet(pages_dir)).collect()}
     assert got == batch
+
+
+def test_stream_to_catalog_exactly_once(spark, documents, tmp_path):
+    """Streaming extraction into the snapshot catalog: kill mid-run, restart
+    with the same checkpoint — txn-tagged foreachBatch appends make any
+    replayed micro-batch a no-op, so the table has every url exactly once."""
+    import time
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark import datagen
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.sources.tables import (
+        Catalog,
+    )
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.streaming import (
+        extract_stream,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    datagen.pages_from_documents(documents).repartition(8).write.parquet(pages_dir)
+    cat = Catalog(str(tmp_path / "cat"))
+
+    q = extract_stream.stream_to_catalog(
+        spark, pages_dir, cat, "stream_results", str(tmp_path / "ck"),
+        files_per_trigger=1)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if cat.exists("stream_results") and len(cat.txns("stream_results")) >= 2:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(60)
+    n_mid = cat.read(spark, "stream_results").count()
+    assert 0 < n_mid < 500
+
+    q2 = extract_stream.stream_to_catalog(
+        spark, pages_dir, cat, "stream_results", str(tmp_path / "ck"),
+        files_per_trigger=3)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(60)
+
+    rows = cat.read(spark, "stream_results").collect()
+    urls = [r.url for r in rows]
+    assert len(urls) == len(set(urls)) == 500
+    # every committed snapshot carries a stream txn tag
+    assert all(t.startswith("stream:stream_results:")
+               for t in cat.txns("stream_results"))
