@@ -517,10 +517,11 @@ def q_ivf_ann_multiprobe(spark, sf_dir):
 
 
 def q_ivf_kmeans_ann_vec1(spark, sf_dir):
-    """ANN probe with TRAINED (Lloyd k-means) IVF centroids — rows-only
-    check: fixed-iteration k-means is deterministic but iterative, the
-    contract's allowed no-oracle category (group-mean summation order
-    differs across engines, so a SQL replica could flip knife-edge argmins)."""
+    """ANN probe with TRAINED (Lloyd k-means) IVF centroids. Fully oracled
+    since round 3: centroid means and assignment sims are rounded to 6 dp
+    every iteration on BOTH engines, so cross-engine FP summation-order
+    noise (~1e-10) cannot flip an argmax and `_kmeans_oracle_sql` replicates
+    the entire training loop + probe in DuckDB."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_centroids(emb, num_centroids=8, iters=2)
     return similarity.ivf_ann_query(emb, 1, k=5, centroids=cents)
@@ -641,6 +642,73 @@ def _simhash_oracle_sql(max_hamming: int = 8, max_bucket: int = 1024) -> str:
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         )
         SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
+
+
+def _kmeans_oracle_sql(num_centroids: int = 8, iters: int = 2,
+                       query_vec_id: int = 1, k: int = 5) -> str:
+    """ANSI-SQL twin of similarity.kmeans_centroids + the ivf_ann_query
+    probe. Replicates the WHOLE fixed-iteration Lloyd training loop, not
+    just the probe: it can, because both engines round centroid means and
+    assignment sims to 6 dp every iteration, so FP summation-order
+    differences (Spark partial-agg order vs DuckDB sequential) sit ~1e-10
+    below the rounding grain and cannot flip an argmax. Loop structure
+    mirrors similarity.py: init assign = key % C, then iters+1 rounds of
+    (element-wise-mean centroids -> cosine argmax reassignment); the final
+    centroids feed the same single-probe ANN arithmetic as q_ivf_ann_vec1."""
+    mean_cte = """c{i} AS (
+          SELECT cid AS centroid_id, list(m ORDER BY pos) AS cvec FROM (
+            SELECT cid, pos, round(avg(val), 6) AS m
+            FROM (SELECT cid, unnest(v) AS val,
+                         generate_subscripts(v, 1) AS pos FROM a{i})
+            GROUP BY cid, pos
+          ) GROUP BY cid
+        )"""
+    assign_cte = """a{j} AS (
+          SELECT centroid_id AS cid, v FROM (
+            SELECT c.centroid_id, ex.v, ex.k,
+                   row_number() OVER (
+                     PARTITION BY ex.k
+                     ORDER BY round(list_cosine_similarity(ex.v, c.cvec), 6)
+                              DESC, c.centroid_id) AS rn
+            FROM ex, c{i} c
+          ) WHERE rn = 1
+        )"""
+    ctes = [f"""ex AS (
+          SELECT vec_id AS k, embedding::DOUBLE[] AS v FROM embeddings
+        ), a0 AS (
+          SELECT CAST(k % {num_centroids} AS INT) AS cid, v FROM ex
+        )"""]
+    for i in range(iters + 1):
+        ctes.append(mean_cte.format(i=i))
+        if i < iters:  # the last reassignment is never consumed
+            ctes.append(assign_cte.format(i=i, j=i + 1))
+    cents = f"c{iters}"
+    return f"""
+        WITH {', '.join(ctes)}, assign AS (
+          SELECT k AS vec_id, centroid_id FROM (
+            SELECT ex.k, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY ex.k
+                     ORDER BY round(list_cosine_similarity(ex.v, c.cvec), 6)
+                              DESC, c.centroid_id) AS rn
+            FROM ex, {cents} c
+          ) WHERE rn = 1
+        ), q AS (
+          SELECT v AS qvec FROM ex WHERE k = {query_vec_id}
+        ), probed AS (
+          SELECT c.centroid_id FROM {cents} c, q
+          ORDER BY round(list_cosine_similarity(c.cvec, q.qvec), 6) DESC,
+                   c.centroid_id
+          LIMIT 1
+        ), members AS (
+          SELECT a.vec_id FROM assign a JOIN probed USING (centroid_id)
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.qvec), 6) AS cos_sim
+        FROM embeddings e JOIN members USING (vec_id), q
+        WHERE e.vec_id <> {query_vec_id}
+        ORDER BY cos_sim DESC, e.vec_id LIMIT {k}"""
 
 
 ORACLES: dict[str, str] = {
@@ -843,6 +911,7 @@ ORACLES: dict[str, str] = {
         FROM documents""",
     "q_minhash_lsh_pairs": _minhash_oracle_sql(),
     "q_simhash_near_dups": _simhash_oracle_sql(),
+    "q_ivf_kmeans_ann_vec1": _kmeans_oracle_sql(),
     "q_pii_redaction": """
         SELECT doc_id,
                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -1001,6 +1070,6 @@ QUERIES = {
     "q_ivf_ann_vec1": q_ivf_ann_vec1,
     "q_ivf_ann_multiprobe": q_ivf_ann_multiprobe,
     "q_canonical_urls": q_canonical_urls,
-    "q_ivf_kmeans_ann_vec1": q_ivf_kmeans_ann_vec1,  # rows-only (iterative)
+    "q_ivf_kmeans_ann_vec1": q_ivf_kmeans_ann_vec1,
     "q_embedding_near_dups": q_embedding_near_dups,
 }

@@ -11,7 +11,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -29,6 +29,36 @@ def _norm(a):
 
 def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _argmax_centroid(scored: DataFrame, group_col: str, keep_cols: list[str]):
+    """Per-group argmax over (sim desc, centroid_id asc) as ONE aggregate —
+    never `row_number()` over a Window, which would sort every
+    (vector, centroid) scored row; the aggregate partial-combines map-side,
+    so the shuffle carries one row per vector instead of one per scored
+    pair. At 10^12 vectors that is a full sort and a C-fold shuffle saved.
+
+    `sim` must already be rounded to 6 dp (every caller does). That makes
+    the ordering encodable as ONE exact BIGINT — round(sim*1e6)*2^32 -
+    centroid_id — so when nothing else rides along Spark can use a
+    HashAggregate (struct-valued max_by buffers force SortAggregate).
+    With `keep_cols` (the k-means loop carries the vector through) the
+    struct form is used: still Window-free and map-side combining, just
+    sort-based within partitions."""
+    order = (F.round(F.col("sim") * 1e6).cast("long") * F.lit(1 << 32)
+             - F.col("centroid_id").cast("long"))
+    if not keep_cols:
+        return scored.groupBy(group_col).agg(
+            F.max_by("centroid_id", order).alias("centroid_id"),
+            F.max("sim").alias("sim"),  # the argmax winner's sim IS max(sim)
+        )
+    best = F.max_by(F.struct("centroid_id", "sim", *keep_cols),
+                    F.struct(F.col("sim").alias("s"),
+                             (-F.col("centroid_id")).alias("nc")))
+    return (
+        scored.groupBy(group_col).agg(best.alias("best"))
+        .select(group_col, "best.*")
+    )
 
 
 def cosine_knn(emb: DataFrame, query_vec_id: int, k: int = 10,
@@ -63,28 +93,44 @@ def label_centroid_norms(emb: DataFrame, vec_col: str = "embedding") -> DataFram
 
 
 def kmeans_centroids(emb: DataFrame, num_centroids: int = 8, iters: int = 2,
-                     key: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     key: str = "vec_id", vec_col: str = "embedding",
+                     persist_iterations: bool = False) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding column — the trained
-    replacement for the seeded IVF centroids (upgrade path the round-1
-    docstring promised).
+    replacement for the seeded IVF centroids.
 
     Everything is native DataFrame ops: init centroids = per-(key % k)
     element-wise means (posexplode -> groupBy(cluster, pos) avg), each
     iteration broadcasts the k x dim centroid table, assigns by cosine with
-    an explicit (sim desc, centroid_id asc) tie-break, and recomputes means.
-    Deterministic given the data: no random init, fixed iteration count.
+    an explicit (sim desc, centroid_id asc) tie-break (`max_by` aggregate —
+    map-side combine, no window sort), and recomputes means. Deterministic
+    given the data AND across engines: centroid means and assignment sims
+    are rounded to 6 dp each iteration, so FP summation-order differences
+    (partial-agg order in Spark vs sequential in a SQL engine) cannot flip
+    an argmax — this is what lets contract._kmeans_oracle_sql replicate the
+    whole training loop in DuckDB and hash-match.
+
     Per-iteration cost is one shuffle of n x dim (pos, val) rows — the
     standard distributed-k-means profile; k and dim are small so every
-    centroid table broadcast is trivial."""
+    centroid table broadcast is trivial. With `persist_iterations` each
+    assignment is persisted (and the previous one released), so iteration
+    i+1's centroid scan does not re-run iterations 0..i's whole chain —
+    turn it on for iters > 2; off by default to keep short trainings
+    allocation-free."""
     ex = emb.select(F.col(key).alias("k"), F.col(vec_col).alias("v"))
     # init: element-wise mean per (key % num_centroids) bucket
     assigned = ex.select(
         (F.col("k") % num_centroids).cast("int").alias("cid"), "v")
+    prev = None
     for _ in range(iters + 1):
+        if persist_iterations:
+            assigned = assigned.persist()
+            assigned.count()  # materialize before releasing the parent
+            if prev is not None:
+                prev.unpersist()
+            prev = assigned
         cents = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cid", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("cid", "pos").agg(F.round(F.avg("val"), 6).alias("m"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
             .select(F.col("cid").alias("centroid_id"),
@@ -93,14 +139,13 @@ def kmeans_centroids(emb: DataFrame, num_centroids: int = 8, iters: int = 2,
         # reassign by cosine against the fresh centroids
         scored = ex.join(F.broadcast(cents)).select(
             "k", "v", "centroid_id",
-            cosine_col(F.col("v"), F.col("cvec")).alias("sim"),
+            F.round(cosine_col(F.col("v"), F.col("cvec")), 6).alias("sim"),
         )
-        w = Window.partitionBy("k").orderBy(F.desc("sim"), F.asc("centroid_id"))
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("centroid_id").alias("cid"), "v")
-        )
+        assigned = _argmax_centroid(scored, "k", ["v"]).select(
+            F.col("centroid_id").alias("cid"), "v")
+    if persist_iterations and prev is not None:
+        cents = cents.localCheckpoint()  # cut the lineage before unpersist
+        prev.unpersist()
     return cents
 
 
@@ -111,7 +156,9 @@ def ivf_assign(emb: DataFrame, num_centroids: int = 8, key: str = "vec_id",
     centroids are the vectors with key < num_centroids (deterministic seed
     choice, reproducible in the ANSI oracles); pass `centroids` (e.g. from
     `kmeans_centroids`) for trained buckets at scale. Centroid table is
-    broadcast; argmax via window with explicit tie-break."""
+    broadcast; argmax via a `max_by` aggregate with explicit
+    (sim desc, centroid_id asc) tie-break — partial-combines map-side, no
+    window sort (plan pinned Window/Sort-free in tests/test_plans.py)."""
     cents = centroids if centroids is not None else emb.filter(
         F.col(key) < num_centroids
     ).select(
@@ -122,12 +169,8 @@ def ivf_assign(emb: DataFrame, num_centroids: int = 8, key: str = "vec_id",
         "centroid_id",
         F.round(cosine_col(F.col(vec_col), F.col("cvec")), 6).alias("sim"),
     )
-    w = Window.partitionBy(key).orderBy(F.desc("sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(key, "centroid_id", F.col("sim").alias("centroid_sim"))
-    )
+    return _argmax_centroid(scored, key, []).select(
+        key, "centroid_id", F.col("sim").alias("centroid_sim"))
 
 
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,

@@ -111,3 +111,29 @@ def test_simhash_is_fully_native(spark):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_ivf_assignment_is_an_aggregate_not_a_window(spark):
+    """Centroid argmax must compile to a partial-aggregating max_by, never a
+    row_number window — a window sorts every (vector, centroid) scored row
+    inside each key's partition, a full sort wasted at 10^12 vectors."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(similarity.ivf_assign(emb))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_kmeans_training_plan_is_window_free(spark):
+    """The Lloyd reassignment uses the same max_by aggregate as ivf_assign."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(similarity.kmeans_centroids(emb, num_centroids=4, iters=1))
+    assert "Window" not in plan
