@@ -48,13 +48,22 @@ def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The sandbox table is ONE parquet file -> a single scan task, which would
     run the entire pre-shuffle pipeline (shingle explode, md5 banks, bit
-    votes) single-threaded. One cheap round-robin shuffle of the small text
-    table unlocks full-core parallelism. At production scale the source
+    votes) single-threaded. One cheap shuffle of the small text table
+    (hash-partitioned on doc_id) unlocks full-core parallelism. At production scale the source
     table arrives in thousands of splits and this repartition would be
     skipped (partition count >= cores)."""
     docs = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     return docs.repartition(par, "doc_id")
+
+
+def _emb_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, repartitioned for compute-heavy vector pipelines — same
+    single-file-scan rationale as `_docs_wide`: without it the n x C
+    centroid-scoring stage (broadcast join + cosine folds) runs in ONE task."""
+    emb = _t(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    return emb.repartition(par, "vec_id")
 
 
 def extraction_results(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,7 +531,7 @@ def q_ivf_kmeans_ann_vec1(spark, sf_dir):
     every iteration on BOTH engines, so cross-engine FP summation-order
     noise (~1e-10) cannot flip an argmax and `_kmeans_oracle_sql` replicates
     the entire training loop + probe in DuckDB."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_wide(spark, sf_dir)
     cents = similarity.kmeans_centroids(emb, num_centroids=8, iters=2)
     return similarity.ivf_ann_query(emb, 1, k=5, centroids=cents)
 
@@ -532,7 +541,7 @@ def q_embedding_near_dups(spark, sf_dir):
     0.40 so the synthetic clusters yield a non-trivial pair set (the oracle
     SQL uses the same value)."""
     return similarity.cosine_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.40)
+        _emb_wide(spark, sf_dir), threshold=0.40)
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,32 @@ LSH_BANDS = 4  # 4 bands x 4 rows
 
 _HEX = "0123456789abcdef"
 
+# Scoped-cache registry: hot-path operators cache DataFrames that feed
+# multiple plan branches (self-join sides, count+anti-join). The registry
+# lets a long-lived session release them all once results are materialized
+# instead of pinning block-manager memory until LRU eviction.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def register_cache(df: DataFrame) -> DataFrame:
+    """Track a cached DataFrame for later `release_caches()`."""
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every registered cache (call after materializing results);
+    returns how many were released. Shared by dedup and similarity."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+    return n
+
 
 def _cap_hot_keys(df: DataFrame, key_cols: list[str],
                   max_bucket: int) -> DataFrame:
@@ -41,8 +67,9 @@ def _cap_hot_keys(df: DataFrame, key_cols: list[str],
     and (in every caller) both sides of a downstream self-join — without the
     cache the whole upstream hash/explode pipeline would run 3-4x. Callers
     on a cluster too big to cache would swap this for a checkpoint/storage
-    round-trip; the plan shape is unchanged."""
-    df = df.cache()
+    round-trip; the plan shape is unchanged. The cache is registered for
+    `release_caches()` so sessions running many queries can free it."""
+    df = register_cache(df.cache())
     hot = (
         df.groupBy(*key_cols).count()
         .filter(F.col("count") > max_bucket)
@@ -111,10 +138,10 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Token-set Jaccard for candidate pairs (ref string-similarity fallback,
     evaluate.py:221-231: intersection/union of token sets)."""
-    toks = df.select(
+    toks = register_cache(df.select(
         F.col(key).alias("k"),
         F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")).alias("toks"),
-    ).cache()  # joined twice (doc_a and doc_b sides)
+    ).cache())  # joined twice (doc_a and doc_b sides); released via release_caches()
     j = (
         pairs.join(toks.withColumnRenamed("k", "doc_a")
                    .withColumnRenamed("toks", "toks_a"), "doc_a")
@@ -129,8 +156,9 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
     )
 
 
-def _perm_hash(tok, p: int, hash_fn: str):
-    """Seeded permutation hash of a shingle digest.
+def _perm_hash_sql(p: int, hash_fn: str) -> str:
+    """Seeded permutation hash of a shingle digest (SQL-expression string
+    over a column named `tok`).
 
     - "md5": each md5 of "<digest>,<seed_group>" yields FOUR independent
       32-bit permutations (hex slices of the 128-bit digest), so 16 perms
@@ -140,11 +168,10 @@ def _perm_hash(tok, p: int, hash_fn: str):
     - "xxhash64": Spark-native seeded 64-bit hash — cheapest at scale but
       engine-internal, so not oracle-reproducible."""
     if hash_fn == "md5":
-        return F.substring(
-            F.md5(F.concat_ws(",", tok, F.lit(str(p // 4)))),
-            (p % 4) * 8 + 1, 8)
+        return (f"substring(md5(concat_ws(',', tok, '{p // 4}')), "
+                f"{(p % 4) * 8 + 1}, 8)")
     if hash_fn == "xxhash64":
-        return F.xxhash64(tok, F.lit(p))
+        return f"xxhash64(tok, {p})"
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
@@ -171,24 +198,26 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id",
             F.array_distinct(_shingles(text_col, shingle_n))
         ).alias("tok"),
     )
+    # per-permutation expressions are SQL strings parsed JVM-side: building
+    # ~150 Column objects from Python costs ~1 s of py4j round-trips per
+    # query (same lesson as simhash_signatures)
     if hash_fn == "md5":
         # one projection computes each seed-group md5 exactly once per
         # shingle row (explicit sharing — no reliance on codegen CSE)
-        toks = toks.withColumns({
-            f"h{g}": F.md5(F.concat_ws(",", F.col("tok"), F.lit(str(g))))
+        toks = toks.selectExpr("k", *[
+            f"md5(concat_ws(',', tok, '{g}')) AS h{g}"
             for g in range((num_perms + 3) // 4)
-        })
-        slot = [F.substring(F.col(f"h{p // 4}"), (p % 4) * 8 + 1, 8)
+        ])
+        slot = [f"substring(h{p // 4}, {(p % 4) * 8 + 1}, 8)"
                 for p in range(num_perms)]
     else:
-        slot = [_perm_hash(F.col("tok"), p, hash_fn)
-                for p in range(num_perms)]
+        slot = [_perm_hash_sql(p, hash_fn) for p in range(num_perms)]
     mins = toks.groupBy("k").agg(*[
-        F.min(slot[p]).alias(f"mh{p}") for p in range(num_perms)
+        F.expr(f"min({slot[p]}) AS mh{p}") for p in range(num_perms)
     ])
-    return mins.select(
-        F.col("k").alias(key),
-        F.array(*[F.col(f"mh{p}") for p in range(num_perms)]).alias("signature"),
+    return mins.selectExpr(
+        f"k AS {key}",
+        f"array({', '.join(f'mh{p}' for p in range(num_perms))}) AS signature",
     )
 
 
@@ -205,20 +234,12 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
     broadcast anti-join; see `_cap_hot_keys`)."""
     rows = num_perms // bands
     sigs = minhash_signatures(df, key, text_col, num_perms, hash_fn=hash_fn)
-    banded = sigs.select(
-        F.col(key).alias("k"),
+    banded = sigs.selectExpr(
+        f"{key} AS k",
         "signature",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(F.concat_ws(
-                    ",", F.transform(
-                        F.slice("signature", b * rows + 1, rows),
-                        lambda x: x.cast("string"),
-                    )
-                )),
-            )
-        ).alias("band", "bucket"),
+        f"posexplode(transform(sequence(0, {bands - 1}), "
+        f"b -> md5(concat_ws(',', transform(slice(signature, b * {rows} + 1, "
+        f"{rows}), x -> cast(x AS string)))))) AS (band, bucket)",
     )
     # _cap_hot_keys caches its input, so both self-join sides reuse the
     # banded signature pipeline rather than recomputing it
@@ -251,53 +272,48 @@ def simhash_signatures(df: DataFrame, key: str = "doc_id",
     is 1 iff the majority of distinct tokens have bit b set (sign of the
     summed +/-1 votes; ties -> 0, matching the classic formulation).
 
-    Plan: explode distinct tokens -> two conv() ints per token (hex chars
-    1-15 and 16) -> 64 conditional-sum aggregates + a count per doc. The
-    sums combine map-side, so the shuffle carries 65 longs per DOC, not per
-    token. Docs with no tokens get simhash 0. Oracle-reproducible: md5 +
-    integer bit ops exist verbatim in ANSI-ish SQL (see contract.py)."""
-    toks = df.select(
-        F.col(key).alias("k"),
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-        ).alias("tok"),
-    ).filter(F.col("tok") != "")
+    Plan: explode_outer distinct tokens (outer keeps token-less docs as one
+    null row, so they get simhash 0 without a join-back stage) -> two conv()
+    ints per token (hex chars 1-15 and 16) -> 64 conditional-sum aggregates
+    + a non-null count per doc. The sums combine map-side, so the shuffle
+    carries 65 longs per DOC, not per token. Oracle-reproducible: md5 +
+    integer bit ops exist verbatim in ANSI-ish SQL (see contract.py).
+
+    The 64-aggregate tree is built as SQL-expression STRINGS parsed JVM-side
+    (`F.expr`/`selectExpr`), not Column-by-Column: composing ~800 Column
+    objects from Python costs 2-3 s of py4j round-trips per query — measured
+    to dominate the whole sf0.1 query (the round-2 bench regression)."""
+    toks = df.selectExpr(
+        f"{key} AS k",
+        "explode_outer(filter(array_distinct("
+        f"split(trim({text_col}), '\\\\s+')), x -> x != '')) AS tok",
+    )
     # two conv() calls per token, not 16: hex chars 1-15 -> bits 63..4
     # ("hi", < 2^60 so the signed long conv is exact), char 16 -> bits 3..0
-    h = F.md5(F.col("tok"))
-    nt = toks.select(
+    nt = toks.selectExpr("k", "md5(tok) AS h").selectExpr(
         "k",
-        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring(h, 16, 1), 16, 10).cast("long").alias("lo"),
+        "cast(conv(substring(h, 1, 15), 16, 10) AS bigint) AS hi",
+        "cast(conv(substring(h, 16, 1), 16, 10) AS bigint) AS lo",
     )
 
-    def bit(b: int):
+    def bit(b: int) -> str:
         if b < 4:
-            return F.shiftright(F.col("lo"), b).bitwiseAND(F.lit(1))
-        return F.shiftright(F.col("hi"), b - 4).bitwiseAND(F.lit(1))
+            return f"shiftright(lo, {b}) & 1"
+        return f"shiftright(hi, {b - 4}) & 1"
 
     agg = nt.groupBy("k").agg(
-        F.count("*").alias("cnt"),
-        *[F.sum(bit(b)).alias(f"s{b}") for b in range(64)],
+        F.expr("count(hi) AS cnt"),
+        *[F.expr(f"sum({bit(b)}) AS s{b}") for b in range(64)],
     )
     # bit b set iff votes = 2*s_b - cnt > 0; bit 63 is the sign bit
-    terms = [
-        F.when(F.col(f"s{b}") * 2 > F.col("cnt"), F.lit(1 << b))
-        .otherwise(F.lit(0)).cast("long")
+    terms = " + ".join(
+        f"(CASE WHEN 2*s{b} > cnt THEN {1 << b}L ELSE 0L END)"
         for b in range(63)
-    ]
-    terms.append(
-        F.when(F.col("s63") * 2 > F.col("cnt"),
-               F.lit(-(1 << 63))).otherwise(F.lit(0)).cast("long")
-    )
-    sig = agg.select(
-        F.col("k"),
-        sum(terms[1:], start=terms[0]).alias("sh"),
-    )
-    return (
-        df.select(F.col(key).alias("k")).join(sig, "k", "left")
-        .select(F.col("k").alias(key),
-                F.coalesce(F.col("sh"), F.lit(0)).cast("long").alias("simhash"))
+    ) + (" + (CASE WHEN 2*s63 > cnt"
+         " THEN -9223372036854775807L - 1L ELSE 0L END)")
+    return agg.selectExpr(
+        f"k AS {key}",
+        f"coalesce({terms}, 0L) AS simhash",
     )
 
 
