@@ -1,45 +1,72 @@
-"""CLI batch entry point — the flagship path (SURVEY §3.1, mirroring the
-reference's `python executable.py --input DIR [--workers N --limit K ...]`,
-executable.py:723-833).
+"""CLI entry point (SURVEY §3.1, mirroring the reference's
+`python executable.py --input DIR [--workers N --limit K ...]`,
+executable.py:723-833) — subcommands expose the extraction flagship AND the
+LLM-data-pipeline operators, so the dedup suite runs without writing code:
 
     python -m _intelligent_document_ai_for_field_extraction_from_invoices_spark \
-        --input /root/testdata/sf0.001 --output /tmp/out_catalog \
-        [--limit K] [--partitions P] [--cores N] [--run-id ID]
+        extract --input /root/testdata/sf0.001 --output /tmp/cat \
+        [--limit K] [--partitions P] [--cores N] [--run-id ID] [--vacuum]
 
-Reads the documents table under --input, synthesises the page corpus,
-runs the resumable extraction (checkpoint + lineage tables in the output
-catalog), and prints a summary (the reference's console report analogue,
-executable.py:683-720).
+    ... dedup   --input DIR --output CAT      # exact dedup groups
+    ... jaccard --input DIR --output CAT      # n-gram shingle + Jaccard pairs
+    ... minhash --input DIR --output CAT      # MinHash-LSH candidate pairs
+    ... simhash --input DIR --output CAT      # SimHash near-dup pairs
+    ... ann     --input DIR --output CAT --query-vec 1 [--k 5] [--probes 1]
+                [--kmeans]                    # IVF ANN over embeddings
+
+Legacy form (flags with no subcommand) still runs `extract`. Every
+subcommand writes its result to the output catalog (exactly-once txn tag
+per run id) and prints one summary JSON line.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 from pyspark.sql import functions as F
 
 from . import datagen
+from .operators import dedup as dedup_ops
+from .operators import similarity
 from .plans import lineage
 from .session import get_spark
 from .sources.tables import Catalog
 
 
-def main(argv=None) -> None:
-    ap = argparse.ArgumentParser(prog="webtext-extract")
+def _add_common(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--input", required=True,
-                    help="directory containing documents.parquet")
+                    help="directory containing the parquet tables")
     ap.add_argument("--output", required=True, help="output catalog directory")
     ap.add_argument("--limit", type=int, default=None)
-    ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--cores", default=None)
     ap.add_argument("--run-id", default="cli-run")
-    ap.add_argument("--vacuum", action="store_true",
-                    help="after the run, delete data files not referenced by"
-                         " current snapshots (expired/rolled-back commits)")
-    args = ap.parse_args(argv)
 
-    spark = get_spark("webtext-extract-cli", cores=args.cores)
+
+def _docs(spark, args):
+    docs = spark.read.parquet(f"{args.input}/documents.parquet")
+    if args.limit:
+        docs = docs.limit(args.limit)
+    # single-file tables otherwise run the pre-shuffle pipeline in one task
+    return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
+def _emit(catalog: Catalog, table: str, df, run_id: str) -> dict:
+    """Write a result table exactly-once per run id and return its stats."""
+    txn = f"cli:{table}:{run_id}"
+    if catalog.exists(table) and txn in catalog.txns(table):
+        rows = None  # replayed run id: already durably committed
+    else:
+        df = df.persist()
+        rows = df.count()  # persisted: the append below reuses the blocks
+        catalog.append(table, df, txn=txn)
+        df.unpersist()
+    dedup_ops.release_caches()
+    return {"table": table, "rows_written": rows, "txn": txn}
+
+
+def cmd_extract(spark, args) -> dict:
     docs = spark.read.parquet(f"{args.input}/documents.parquet")
     if args.limit:
         docs = docs.limit(args.limit)
@@ -62,7 +89,7 @@ def main(argv=None) -> None:
         F.round(F.avg("overall_confidence"), 4).alias("mean_confidence"),
         F.sum(F.length("body_text")).alias("extracted_bytes"),
     ).first()
-    print(json.dumps({
+    return {
         "run": stats,
         "documents": summary.documents,
         "success_rate": round(summary.ok / max(summary.documents, 1), 4),
@@ -72,7 +99,105 @@ def main(argv=None) -> None:
                    (lineage.RESULTS_TABLE, lineage.LINEAGE_TABLE,
                     lineage.CHECKPOINT_TABLE)},
         "files_vacuumed": n_vacuumed,
-    }))
+    }
+
+
+def cmd_dedup(spark, args) -> dict:
+    """Full dedup map: every content-digest group with its canonical doc and
+    copy count (n_copies == 1 rows included — the map is what downstream
+    keep-one filtering joins against)."""
+    groups = dedup_ops.exact_dedup_groups(_docs(spark, args))
+    return _emit(Catalog(args.output), "exact_dedup_groups", groups,
+                 args.run_id)
+
+
+def cmd_jaccard(spark, args) -> dict:
+    docs = _docs(spark, args)
+    pairs = dedup_ops.jaccard_pairs(
+        docs, dedup_ops.shingle_pairs(docs, n=args.ngram,
+                                      min_shared=args.min_shared))
+    return _emit(Catalog(args.output), "jaccard_pairs", pairs, args.run_id)
+
+
+def cmd_minhash(spark, args) -> dict:
+    pairs = dedup_ops.minhash_lsh_pairs(
+        _docs(spark, args), min_est_jaccard=args.min_jaccard)
+    return _emit(Catalog(args.output), "minhash_pairs", pairs, args.run_id)
+
+
+def cmd_simhash(spark, args) -> dict:
+    pairs = dedup_ops.simhash_near_dups(
+        _docs(spark, args), max_hamming=args.max_hamming)
+    return _emit(Catalog(args.output), "simhash_pairs", pairs, args.run_id)
+
+
+def cmd_ann(spark, args) -> dict:
+    emb = spark.read.parquet(f"{args.input}/embeddings.parquet")
+    if args.limit:
+        emb = emb.limit(args.limit)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    cents = None
+    if args.kmeans:
+        cents = similarity.kmeans_centroids(
+            emb, num_centroids=args.centroids, iters=args.iters)
+    topk = similarity.ivf_ann_query(
+        emb, args.query_vec, k=args.k, num_centroids=args.centroids,
+        centroids=cents, num_probes=args.probes)
+    return _emit(Catalog(args.output), "ann_results", topk, args.run_id)
+
+
+def main(argv=None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0].startswith("-"):
+        argv = ["extract", *argv]  # legacy flags-only invocation
+
+    ap = argparse.ArgumentParser(prog="webtext-extract")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("extract", help="flagship extraction -> catalog")
+    _add_common(p)
+    p.add_argument("--partitions", type=int, default=16)
+    p.add_argument("--vacuum", action="store_true",
+                   help="after the run, delete data files not referenced by"
+                        " current snapshots (expired/rolled-back commits)")
+
+    p = sub.add_parser("dedup", help="exact dedup groups -> catalog")
+    _add_common(p)
+
+    p = sub.add_parser("jaccard", help="n-gram Jaccard near-dup pairs")
+    _add_common(p)
+    p.add_argument("--ngram", type=int, default=3)
+    p.add_argument("--min-shared", type=int, default=2)
+
+    p = sub.add_parser("minhash", help="MinHash-LSH candidate pairs")
+    _add_common(p)
+    p.add_argument("--min-jaccard", type=float, default=0.25)
+
+    p = sub.add_parser("simhash", help="SimHash near-dup pairs")
+    _add_common(p)
+    p.add_argument("--max-hamming", type=int, default=8)
+
+    p = sub.add_parser("ann", help="IVF ANN top-k over embeddings")
+    _add_common(p)
+    p.add_argument("--query-vec", type=int, required=True)
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--probes", type=int, default=1)
+    p.add_argument("--centroids", type=int, default=8)
+    p.add_argument("--kmeans", action="store_true",
+                   help="train IVF centroids with Lloyd k-means")
+    p.add_argument("--iters", type=int, default=2)
+
+    args = ap.parse_args(argv)
+    spark = get_spark(f"webtext-{args.cmd}-cli", cores=args.cores)
+    out = {
+        "extract": cmd_extract,
+        "dedup": cmd_dedup,
+        "jaccard": cmd_jaccard,
+        "minhash": cmd_minhash,
+        "simhash": cmd_simhash,
+        "ann": cmd_ann,
+    }[args.cmd](spark, args)
+    print(json.dumps({"cmd": args.cmd, **out}))
 
 
 if __name__ == "__main__":

@@ -111,13 +111,16 @@ def sample_frames(assets: DataFrame, every_n: int = 5,
 
     def run(batches):
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                frames = fake_split_frames(row["payload"], int(row["n_frames"]))
+            # zip over columns, not iterrows(): no per-row Series objects
+            # (house style, extract.py)
+            for asset_id, payload, n_frames in zip(
+                    pdf["asset_id"], pdf["payload"], pdf["n_frames"]):
+                frames = fake_split_frames(payload, int(n_frames))
                 kept = [(i, f) for i, f in enumerate(frames) if i % every_n == 0]
                 if not kept:
                     continue
                 yield pd.DataFrame({
-                    "asset_id": [row["asset_id"]] * len(kept),
+                    "asset_id": [asset_id] * len(kept),
                     "frame_idx": [i for i, _ in kept],
                     "n_frames": [len(frames)] * len(kept),
                     "frame_bytes": [len(f) for _, f in kept],
@@ -146,14 +149,14 @@ def audio_windows(assets: DataFrame, window_bytes: int = 1024,
 
     def run(batches):
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                p = row["payload"] or b""
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = payload or b""
                 wins = [p[i:i + window_bytes]
                         for i in range(0, len(p), window_bytes)]
                 if not wins:
                     continue
                 yield pd.DataFrame({
-                    "asset_id": [row["asset_id"]] * len(wins),
+                    "asset_id": [asset_id] * len(wins),
                     "window_idx": list(range(len(wins))),
                     "window_bytes": [len(w) for w in wins],
                     "window_digest": [hashlib.md5(w).hexdigest() for w in wins],

@@ -7,13 +7,17 @@ streaming plans, so per-url byte identity holds micro-batch by micro-batch.
 That composability — one operator definition, batch and stream — is the
 Spark-first payoff the reference's thread-pool file loop cannot express.
 
-Streaming exact-dedup is `dropDuplicates` on the content digest: Spark keeps
-the seen-digest set in state; production feeds bound the state with
-`withWatermark` on the event-time column (documented inline)."""
+Streaming exact-dedup is `dropDuplicates` on the content digest; the
+watermarked variant (`event_time_col=...`) bounds the digest state with
+`dropDuplicatesWithinWatermark` for unbounded live feeds.
+
+These builders return UNSTARTED streaming DataFrames — the library sinks are
+`extraction_stream_query` (parquet + checkpoint) and `stream_to_catalog`
+(exactly-once catalog appends). Tests drain bounded sources through a
+memory sink helper that lives in tests/ (a memory sink materializes the
+whole result in the driver, so it must never look like a library path)."""
 
 from __future__ import annotations
-
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -21,46 +25,51 @@ from pyspark.sql import functions as F
 from ..operators.extract import extract_pages
 
 
-def _drain_to_memory(df: DataFrame, prefix: str, mode: str) -> tuple:
-    spark = df.sparkSession
-    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark, name
-
-
-def extraction_stream(spark: SparkSession, pages_dir: str,
-                      num_partitions: int = 8,
-                      files_per_trigger: int | None = None) -> DataFrame:
-    """readStream over a pages parquet directory -> extract_pages -> memory
-    sink, drained to completion (bounded source). `files_per_trigger` splits
-    the run into several micro-batches to exercise incremental progress."""
-    schema = spark.read.parquet(pages_dir).schema
+def _stream_reader(spark: SparkSession, data_dir: str,
+                   files_per_trigger: int | None):
+    schema = spark.read.parquet(data_dir).schema
     reader = spark.readStream.schema(schema)
     if files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", files_per_trigger)
-    stream = reader.parquet(pages_dir)
-    results = extract_pages(stream, num_partitions=num_partitions)
-    spark, name = _drain_to_memory(results, "extract", "append")
-    return spark.sql(f"SELECT * FROM {name}")
+    return reader.parquet(data_dir)
 
 
-def exact_dedup_stream(spark: SparkSession, docs_dir: str,
-                       text_col: str = "text") -> DataFrame:
+def extraction_stream_df(spark: SparkSession, pages_dir: str,
+                         num_partitions: int = 8,
+                         files_per_trigger: int | None = None) -> DataFrame:
+    """readStream over a pages parquet directory -> extract_pages, as an
+    unstarted streaming DataFrame (attach a sink to run it).
+    `files_per_trigger` splits a bounded source into several micro-batches
+    to exercise incremental progress."""
+    stream = _stream_reader(spark, pages_dir, files_per_trigger)
+    return extract_pages(stream, num_partitions=num_partitions)
+
+
+def exact_dedup_stream_df(spark: SparkSession, docs_dir: str,
+                          text_col: str = "text",
+                          event_time_col: str | None = None,
+                          watermark_horizon: str = "1 hour",
+                          files_per_trigger: int | None = None) -> DataFrame:
     """Streaming exact dedup: first-seen row per content digest survives.
-    Unbounded digest state for the bounded test source; a live feed would
-    add `.withWatermark(ts_col, horizon)` + the digest to bound state."""
-    schema = spark.read.parquet(docs_dir).schema
-    stream = spark.readStream.schema(schema).parquet(docs_dir)
-    deduped = (
-        stream.withColumn("digest", F.md5(F.col(text_col)))
-        .dropDuplicates(["digest"])
+
+    With `event_time_col`, the digest state is BOUNDED: `withWatermark` +
+    `dropDuplicatesWithinWatermark` evicts a digest once the watermark
+    passes its event time + horizon, so an unbounded live feed holds
+    O(docs-per-horizon) state instead of every digest ever seen. The
+    tradeoff is that a duplicate arriving more than `watermark_horizon`
+    after its first copy is re-emitted (state already evicted) — the
+    standard streaming-dedup contract.
+
+    Without `event_time_col`, plain `dropDuplicates` keeps every digest in
+    state — correct for bounded backfills, unbounded state on live feeds."""
+    stream = _stream_reader(spark, docs_dir, files_per_trigger)
+    digested = stream.withColumn("digest", F.md5(F.col(text_col)))
+    if event_time_col is None:
+        return digested.dropDuplicates(["digest"])
+    return (
+        digested.withWatermark(event_time_col, watermark_horizon)
+        .dropDuplicatesWithinWatermark(["digest"])
     )
-    spark, name = _drain_to_memory(deduped, "dedup", "append")
-    return spark.sql(f"SELECT * FROM {name}")
 
 
 def extraction_stream_query(spark: SparkSession, pages_dir: str,
@@ -72,11 +81,7 @@ def extraction_stream_query(spark: SparkSession, pages_dir: str,
     checkpoint resumes exactly-once from the last committed micro-batch —
     the streaming analogue of the batch pipeline's partition checkpoint
     (plans/lineage.py). Returns the live StreamingQuery."""
-    schema = spark.read.parquet(pages_dir).schema
-    reader = spark.readStream.schema(schema)
-    if files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
-    stream = reader.parquet(pages_dir)
+    stream = _stream_reader(spark, pages_dir, files_per_trigger)
     results = extract_pages(stream, num_partitions=num_partitions)
     return (
         results.writeStream.outputMode("append")
@@ -98,11 +103,7 @@ def stream_to_catalog(spark: SparkSession, pages_dir: str, catalog,
     at-least-once); the txn check makes the replay a no-op, upgrading the
     sink to exactly-once — the same marker discipline as the batch
     pipeline's checkpoint commit (plans/lineage.py). Returns the query."""
-    schema = spark.read.parquet(pages_dir).schema
-    reader = spark.readStream.schema(schema)
-    if files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
-    stream = reader.parquet(pages_dir)
+    stream = _stream_reader(spark, pages_dir, files_per_trigger)
     results = extract_pages(stream, num_partitions=num_partitions)
 
     def write_batch(df, batch_id: int):

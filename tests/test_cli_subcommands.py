@@ -1,0 +1,65 @@
+"""CLI smoke tests for the LLM-pipeline subcommands (round-2 verdict #6):
+each writes its result into the output catalog with an exactly-once txn tag,
+so a replayed run id is a no-op."""
+
+import json
+
+import pytest
+
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark.__main__ import main
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark.sources.tables import (
+    Catalog,
+)
+from tests.conftest import SF_DIR
+
+
+def _run(capsys, *argv) -> dict:
+    main(list(argv))
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+@pytest.mark.parametrize("cmd,table", [
+    ("dedup", "exact_dedup_groups"),
+    ("jaccard", "jaccard_pairs"),
+    ("minhash", "minhash_pairs"),
+    ("simhash", "simhash_pairs"),
+])
+def test_dedup_family_subcommands(spark, tmp_path, capsys, cmd, table):
+    cat_dir = str(tmp_path / "cat")
+    out = _run(capsys, cmd, "--input", SF_DIR, "--output", cat_dir,
+               "--run-id", "t1")
+    assert out["cmd"] == cmd and out["table"] == table
+    assert out["rows_written"] > 0
+    cat = Catalog(cat_dir)
+    n = cat.read(spark, table).count()
+    assert n == out["rows_written"]
+
+    # replayed run id: exactly-once no-op, table unchanged
+    out2 = _run(capsys, cmd, "--input", SF_DIR, "--output", cat_dir,
+                "--run-id", "t1")
+    assert out2["rows_written"] is None
+    assert cat.read(spark, table).count() == n
+
+
+def test_ann_subcommand(spark, tmp_path, capsys):
+    cat_dir = str(tmp_path / "cat")
+    out = _run(capsys, "ann", "--input", SF_DIR, "--output", cat_dir,
+               "--query-vec", "1", "--k", "5")
+    assert out["rows_written"] == 5
+    rows = Catalog(cat_dir).read(spark, "ann_results").collect()
+    assert len(rows) == 5
+    assert all(r.vec_id != 1 for r in rows)
+
+
+def test_ann_kmeans_subcommand(spark, tmp_path, capsys):
+    out = _run(capsys, "ann", "--input", SF_DIR,
+               "--output", str(tmp_path / "cat"),
+               "--query-vec", "1", "--k", "3", "--kmeans", "--iters", "1")
+    assert out["rows_written"] == 3
+
+
+def test_legacy_flags_only_invocation_still_extracts(spark, tmp_path, capsys):
+    out = _run(capsys, "--input", SF_DIR, "--output", str(tmp_path / "cat"),
+               "--limit", "40")
+    assert out["cmd"] == "extract"
+    assert out["documents"] == 40

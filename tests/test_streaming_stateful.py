@@ -32,11 +32,14 @@ def test_streaming_extraction_byte_identity(spark, documents, tmp_path):
     pages_dir = str(tmp_path / "pages")
     datagen.pages_from_documents(documents).repartition(6).write.parquet(pages_dir)
 
+    from tests.conftest import drain_stream_to_memory
+
     batch = {r.url: (r.body_text, r.status)
              for r in extract_pages(spark.read.parquet(pages_dir)).collect()}
     streamed = {r.url: (r.body_text, r.status)
-                for r in extract_stream.extraction_stream(
-                    spark, pages_dir, files_per_trigger=2).collect()}
+                for r in drain_stream_to_memory(
+                    extract_stream.extraction_stream_df(
+                        spark, pages_dir, files_per_trigger=2)).collect()}
     assert streamed == batch
     assert len(streamed) == 500
 
@@ -46,14 +49,74 @@ def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
         extract_stream,
     )
 
+    from tests.conftest import drain_stream_to_memory
+
     docs_dir = str(tmp_path / "docs")
     spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other text")],
         "doc_id long, text string",
     ).coalesce(1).write.parquet(docs_dir)
-    out = extract_stream.exact_dedup_stream(spark, docs_dir).collect()
+    out = drain_stream_to_memory(
+        extract_stream.exact_dedup_stream_df(spark, docs_dir)).collect()
     assert len(out) == 2
     assert {r.text for r in out} == {"same text", "other text"}
+
+
+def test_streaming_dedup_watermark_bounds_state(spark, tmp_path):
+    """Watermarked streaming dedup (`dropDuplicatesWithinWatermark`):
+    a duplicate inside the watermark horizon is dropped; once the watermark
+    passes digest_event_time + horizon the digest is EVICTED from state, so
+    a much-later duplicate is re-emitted — bounded state is the contract.
+
+    Batches are forced file-by-file (maxFilesPerTrigger=1, mtime-ordered):
+      batch0: A(text X @10:00)                 -> emit; watermark -> 09:50
+      batch1: B(text X @10:05), C(other @12:00)-> B dropped (in state);
+                                                  C emitted; wm -> 11:50
+      batch2: D(text X @12:30) -> still dropped: Spark evicts expired state
+              at batch END, after matching input rows (X expired at 10:10
+              but is matched first); eviction then runs with wm 11:50
+      batch3: E(text X @12:35) -> state evicted, re-emitted
+    """
+    import os
+    import time
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.streaming import (
+        extract_stream,
+    )
+    from tests.conftest import drain_stream_to_memory
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    batches = [
+        [(1, "text X", "2024-01-01 10:00:00")],
+        [(2, "text X", "2024-01-01 10:05:00"),
+         (3, "other", "2024-01-01 12:00:00")],
+        [(4, "text X", "2024-01-01 12:30:00")],
+        [(5, "text X", "2024-01-01 12:35:00")],
+    ]
+    import glob
+    import shutil
+
+    now = time.time()
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        df = spark.createDataFrame(rows, "doc_id long, text string, ts string")
+        df.selectExpr("doc_id", "text", "cast(ts AS timestamp) AS ts") \
+            .coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = str(docs_dir / f"b{i}.parquet")
+        shutil.copyfile(part, dst)
+        # file-source ordering is by modification time: pin it explicitly
+        os.utime(dst, (now + i, now + i))
+
+    streamed = extract_stream.exact_dedup_stream_df(
+        spark, str(docs_dir), event_time_col="ts",
+        watermark_horizon="10 minutes", files_per_trigger=1)
+    # glob the per-batch subdirs
+    out = drain_stream_to_memory(streamed.where("doc_id IS NOT NULL")).collect()
+    got = sorted(r.doc_id for r in out)
+    # 2 and 4 deduped; 5 re-emitted once the expired digest was evicted
+    assert got == [1, 3, 5], got
 
 
 def test_streaming_checkpoint_restart_exactly_once(spark, documents, tmp_path):
