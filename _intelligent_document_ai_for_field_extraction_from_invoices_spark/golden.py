@@ -122,16 +122,26 @@ _MONTHS = {
 }
 _MONTH_ABBR = {m[:3]: n for m, n in _MONTHS.items()}
 
+# Shared-pattern discipline: the extractor pattern STRINGS below are reused
+# VERBATIM by the native relational twin (operators/nodes.py regexp_extract,
+# Java regex) тАФ so they are pinned to ASCII semantics. Python's \d/\s/\w/\b
+# are Unicode-aware (\d matches Devanagari резрел and int() parses it!) while
+# Java/RE2 default to ASCII: a shared '\d' silently compiles to two
+# different character classes. [0-9], the explicit whitespace class, and
+# ASCII lookarounds mean both engines compile the identical automaton.
+_WS = r" \t\n\r\f\x0B"  # Java \s == this set; Python \s is a superset
+_AW = "A-Za-z0-9_"      # Java \w == this set
+
 # Byline patterns (ref dealer-name extractors F1, extractor.py:72-89; the
 # Hindi/Gujarati bank mirrors the ref's multilingual labels, extractor.py:87
 # 'рдбреАрд▓рд░|ркбрлАрк▓рк░|рд╡рд┐рдХреНрд░реЗрддрд╛' тАФ retargeted to byline labels 'рджреНрд╡рд╛рд░рд╛' / 'рк▓рлЗркЦркХ').
 _BYLINE_TEXT_RE = re.compile(
-    r"^[Bb]y[:\s]\s*([A-Z][\w.'тАЩ-]*(?:\s+[A-Z][\w.'тАЩ-]*){0,3})"
+    rf"^[Bb]y[:{_WS}][{_WS}]*([A-Z][{_AW}.'тАЩ-]*(?:[{_WS}]+[A-Z][{_AW}.'тАЩ-]*){{0,3}})"
 )
 _INDIC = "рдА-ре┐ркА-рл┐"  # Devanagari + Gujarati blocks
 _BYLINE_ML_RE = re.compile(
-    rf"^(?:рджреНрд╡рд╛рд░рд╛|рк▓рлЗркЦркХ)[:\s]\s*([{_INDIC}][{_INDIC}.'тАЩ-]*"
-    rf"(?:\s+[{_INDIC}][{_INDIC}.'тАЩ-]*){{0,3}})"
+    rf"^(?:рджреНрд╡рд╛рд░рд╛|рк▓рлЗркЦркХ)[:{_WS}][{_WS}]*([{_INDIC}][{_INDIC}.'тАЩ-]*"
+    rf"(?:[{_WS}]+[{_INDIC}][{_INDIC}.'тАЩ-]*){{0,3}})"
 )
 _BYLINE_REJECT = frozenset(
     ["the", "our", "all", "more", "news", "staff", "admin", "editor team"]
@@ -139,10 +149,16 @@ _BYLINE_REJECT = frozenset(
 
 # Date patterns (ref HP extractors F3 retargeted to dates, extractor.py:102-109;
 # ML bank mirrors the ref's Hindi/Gujarati pattern row, extractor.py:106-107).
-_DATE_ISO_RE = re.compile(r"\b(\d{4})-(\d{2})-(\d{2})\b")
+# \b replaced with ASCII lookarounds: Python \b is Unicode-word-aware, Java
+# \b is ASCII тАФ '12024-01-02' or 'рдХ2024-тАж' would otherwise extract in one
+# engine and not the other.
+_DATE_ISO_RE = re.compile(
+    rf"(?<![{_AW}])([0-9]{{4}})-([0-9]{{2}})-([0-9]{{2}})(?![{_AW}])"
+)
 _DATE_TEXT_RE = re.compile(
-    r"\b(January|February|March|April|May|June|July|August|September|October|"
-    r"November|December)\s+(\d{1,2}),?\s+(\d{4})\b"
+    rf"(?<![{_AW}])(January|February|March|April|May|June|July|August|"
+    rf"September|October|"
+    rf"November|December)[{_WS}]+([0-9]{{1,2}}),?[{_WS}]+([0-9]{{4}})(?![{_AW}])"
 )
 MONTHS_HI = ("рдЬрдирд╡рд░реА рдлрд░рд╡рд░реА рдорд╛рд░реНрдЪ рдЕрдкреНрд░реИрд▓ рдордИ рдЬреВрди рдЬреБрд▓рд╛рдИ рдЕрдЧрд╕реНрдд рд╕рд┐рддрдВрдмрд░ рдЕрдХреНрдЯреВрдмрд░ "
              "рдирд╡рдВрдмрд░ рджрд┐рд╕рдВрдмрд░").split()
@@ -151,11 +167,22 @@ MONTHS_GU = ("ркЬрк╛ркирлНркпрлБркЖрк░рлА рклрлЗркмрлНрк░рлБркЖрк░рлА ркорк╛рк░р
 _MONTHS_ML = {m: i + 1 for i, m in enumerate(MONTHS_HI)}
 _MONTHS_ML.update({m: i + 1 for i, m in enumerate(MONTHS_GU)})
 _DATE_TEXT_ML_RE = re.compile(
-    r"(\d{1,2})\s+(" + "|".join([*MONTHS_HI, *MONTHS_GU]) + r")\s+(\d{4})"
+    rf"([0-9]{{1,2}})[{_WS}]+(" + "|".join([*MONTHS_HI, *MONTHS_GU])
+    + rf")[{_WS}]+([0-9]{{4}})"
 )
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)")
 
-_WS_RE = re.compile(r"\s+")
+# Whitespace NORMALIZATION is deliberately Unicode (NBSP etc. collapse to
+# one space тАФ that's content cleanup, unlike the ASCII-pinned extractor
+# patterns above). The twin shares this exact string: it is Python's \s set
+# for str patterns spelled as an EXPLICIT class (enumerated from CPython),
+# because no inline flag means the same thing in both engines тАФ Java (?U)
+# is a syntax error in Python re, and Java's bare \s is ASCII-only.
+WS_NORM_PATTERN = (
+    r"[ \t\n\x0B\f\r\x1c-\x1f\x85\xa0\u1680"
+    r"\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]+"
+)
+_WS_RE = re.compile(WS_NORM_PATTERN)
 
 
 def _norm_ws(s: str) -> str:

@@ -158,11 +158,12 @@ def _month_map():
         F.lit(x) for kv in golden._MONTHS.items() for x in kv
     ])
 
-_ISO = r"(\d{4}-\d{2}-\d{2})"
-_TEXTUAL = (r"(January|February|March|April|May|June|July|August|September|"
-            r"October|November|December)\s+(\d{1,2}),?\s+(\d{4})")
-# reuse golden's compiled pattern text (Java-regex compatible) so the ML
-# banks cannot drift between the twins — same discipline as _CANON_STEPS
+# reuse golden's compiled pattern text so the banks cannot drift between
+# the twins — same discipline as _CANON_STEPS. The strings are ASCII-pinned
+# in golden ([0-9], explicit whitespace class, ASCII lookarounds) precisely
+# so they compile to the same automaton under Python re AND Java regex.
+_ISO = golden._DATE_ISO_RE.pattern
+_TEXTUAL = golden._DATE_TEXT_RE.pattern
 _TEXTUAL_ML = golden._DATE_TEXT_ML_RE.pattern
 
 
@@ -176,7 +177,11 @@ def _norm_date_native(raw):
     """ISO, 'Month D, YYYY', or Hindi/Gujarati 'D <month> YYYY' ->
     'YYYY-MM-DD' with the P7 year-range guard (mirrors golden's bank order:
     ISO, English textual, ML textual)."""
-    iso = F.regexp_extract(raw, _ISO, 1)
+    # golden's ISO pattern captures (year)(month)(day) as three groups
+    iso_y = F.regexp_extract(raw, _ISO, 1)
+    iso = F.when(iso_y != "", F.concat_ws(
+        "-", iso_y, F.regexp_extract(raw, _ISO, 2),
+        F.regexp_extract(raw, _ISO, 3))).otherwise(F.lit(""))
     mon = F.regexp_extract(raw, _TEXTUAL, 1)
     day = F.regexp_extract(raw, _TEXTUAL, 2)
     yr = F.regexp_extract(raw, _TEXTUAL, 3)
@@ -251,7 +256,10 @@ def field_candidates(nodes: DataFrame) -> DataFrame:
             F.lit(rank).alias("source_rank"),
         ).filter(F.col("value").isNotNull())
 
-    t = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    # golden.WS_NORM_PATTERN: Python's Unicode \s as an explicit class —
+    # Java's bare \s is ASCII-only, so 'March\xa05' would normalize in
+    # golden but not here
+    t = F.trim(F.regexp_replace(F.col("text"), golden.WS_NORM_PATTERN, " "))
     valid_title = F.length(t).between(3, 300)
 
     title_cands = [
@@ -272,8 +280,8 @@ def field_candidates(nodes: DataFrame) -> DataFrame:
     by_meta = first_meta("author", "article:author", "parsely-author").filter(
         _valid_byline_native(t)
     )
-    by_rx = r"^[Bb]y[:\s]\s*([A-Z][\w.'’-]*(?:\s+[A-Z][\w.'’-]*){0,3})"
-    by_rx_ml = golden._BYLINE_ML_RE.pattern  # shared source of truth
+    by_rx = golden._BYLINE_TEXT_RE.pattern  # shared source of truth
+    by_rx_ml = golden._BYLINE_ML_RE.pattern
     by_text = (
         real.filter((F.col("node_idx") < 25) & ~F.col("boiler"))
         .withColumn("m_en", F.regexp_extract("text", by_rx, 1))

@@ -151,7 +151,10 @@ def kmeans_centroids(emb: DataFrame, num_centroids: int = 8, iters: int = 2,
         assigned = _argmax_centroid(scored, "k", ["v"]).select(
             F.col("centroid_id").alias("cid"), "v")
     if persist_iterations and prev is not None:
-        cents = cents.localCheckpoint()  # cut the lineage before unpersist
+        # cut the lineage off the persisted assignment before releasing it:
+        # the centroid table is k x dim (tiny by construction), so a driver
+        # round-trip is cheaper than localCheckpoint (which would pin blocks)
+        cents = emb.sparkSession.createDataFrame(cents.collect(), cents.schema)
         prev.unpersist()
     return cents
 

@@ -179,10 +179,25 @@ class Catalog:
                 n += len(parquets)
                 shutil.rmtree(sdir)
             else:
+                removed = 0
                 for p in parquets:
                     if os.path.realpath(p) not in keep:
                         os.remove(p)
+                        # Hadoop checksum sidecar (.<name>.crc) would
+                        # otherwise accumulate as an orphan
+                        crc = os.path.join(os.path.dirname(p),
+                                           f".{os.path.basename(p)}.crc")
+                        if os.path.exists(crc):
+                            os.remove(crc)
                         n += 1
+                        removed += 1
+                if removed == len(parquets):
+                    # no data files left: drop the _SUCCESS marker too so the
+                    # dir doesn't read as a committed-but-empty write
+                    for marker in ("_SUCCESS", "._SUCCESS.crc"):
+                        mp = os.path.join(sdir, marker)
+                        if os.path.exists(mp):
+                            os.remove(mp)
         return n
 
     def read(self, spark: SparkSession, table: str,

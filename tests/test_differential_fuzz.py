@@ -36,6 +36,12 @@ def _page(rng: random.Random) -> bytes:
             rng.choice(AUTHOR_POOL),
             f"{rng.randint(1980, 2040)}-{rng.randint(1, 13):02d}-{rng.randint(1, 32):02d}",
             "March 5, 2024", "15 जनवरी 2024",
+            # regex-engine divergence bait (Python re vs Java regex): the
+            # shared patterns must be ASCII-pinned for these to agree
+            "१५ जनवरी 2024",        # Devanagari digits: Python \d matched them
+            "15 जनवरी 2024",  # NBSP: Python \s matched it
+            "x12024-01-02", "क2024-01-02",  # \b vs ASCII lookaround edges
+            "March 5, 2024",
         ])
         parts.append(f'<meta property="{key}" content="{content}">')
     if rng.random() < 0.5:
@@ -48,7 +54,7 @@ def _page(rng: random.Random) -> bytes:
             parts.append(f"<h{rng.randint(1, 3)}>{text[:60]}</h{rng.randint(1, 3)}>")
         elif kind == 1:
             parts.append(f'<div class="byline">By {rng.choice(AUTHOR_POOL)}'
-                         f" &mdash; {rng.choice(['March 5, 2024', '15 जनवरी 2024', '2024-03-05', 'no date here'])}</div>")
+                         f" &mdash; {rng.choice(['March 5, 2024', '15 जनवरी 2024', '2024-03-05', 'no date here', '१५ जनवरी 2024', 'x12024-01-02'])}</div>")
         elif kind == 2:
             parts.append(f"<p><a href='/x'/>{text}</p>")       # self-closed anchor
         elif kind == 3:

@@ -207,3 +207,15 @@ def test_caseless_script_byline_validity():
     assert golden._valid_byline("अर्जुन शर्मा")        # caseless: passes
     assert not golden._valid_byline("john smith")      # all-lower Latin: rejected
     assert golden._valid_byline("John Smith")
+
+
+def test_ws_norm_pattern_is_exactly_pythons_unicode_whitespace():
+    """WS_NORM_PATTERN is the twin-shared explicit spelling of Python's \\s
+    (Java's bare \\s is ASCII-only, so the class must be enumerated). If a
+    CPython upgrade changes the \\s set, this catches the drift."""
+    import re
+
+    cls = re.compile(golden.WS_NORM_PATTERN[:-1])  # strip the trailing +
+    for cp in range(0x11000):
+        ch = chr(cp)
+        assert bool(re.match(r"\s", ch)) == bool(cls.match(ch)), hex(cp)

@@ -64,3 +64,22 @@ def test_centroid_vectors_are_unit_scale_means(spark, clustered):
     for r in cents.collect():
         peak = max(r.cvec)
         assert math.isclose(peak, 10.0, rel_tol=1e-9)
+
+
+def test_kmeans_persist_iterations_matches_and_releases(spark, clustered):
+    """iters=5 with persist_iterations: same centroids as the unpersisted
+    path (rounding makes both exact), recall holds (ANN top-k == brute
+    force on the separated fixture), and no cached blocks survive."""
+    base = sorted(map(tuple, sim.kmeans_centroids(
+        clustered, 3, iters=5).collect()))
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    fast = sim.kmeans_centroids(clustered, 3, iters=5,
+                                persist_iterations=True)
+    got = sorted(map(tuple, fast.collect()))
+    assert got == base
+    after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    assert after - before == set()  # every per-iteration persist released
+
+    ann = sim.ivf_ann_query(clustered, query_vec_id=0, k=5, centroids=fast)
+    bf = sim.cosine_knn(clustered, query_vec_id=0, k=5)
+    assert [r.vec_id for r in ann.collect()] == [r.vec_id for r in bf.collect()]

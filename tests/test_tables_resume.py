@@ -178,3 +178,36 @@ def test_vacuum_reclaims_expired_and_orphaned_files(spark, tmp_path):
     assert sorted(r.id for r in cat.read(spark, "t").collect()) == list(range(7))
     # vacuum is idempotent
     assert cat.vacuum("t") == 0
+
+
+def test_vacuum_removes_crc_sidecars_and_success_markers(spark, tmp_path):
+    """When vacuum deletes a parquet file it must also delete its Hadoop
+    .crc sidecar; a staging dir left with zero data files loses its _SUCCESS
+    marker too (otherwise stale checksums/markers accumulate forever)."""
+    import os
+
+    cat = Catalog(str(tmp_path))
+    cat.overwrite("t", spark.range(10))
+    v1 = cat.snapshots("t")[-1]["files"]
+    cat.append("t", spark.range(10, 13))  # second staging dir, still live
+    cat.overwrite("t", spark.range(5))    # everything before now expired
+    cat.vacuum("t")
+
+    data_root = os.path.join(str(tmp_path), "t", "data")
+    leftovers = []
+    for root, _, fs in os.walk(data_root):
+        for f in fs:
+            if f.endswith(".crc") and f != "._SUCCESS.crc":
+                # a .crc may only exist next to its live data file
+                data = os.path.join(root, f[1:-4])
+                if not os.path.exists(data):
+                    leftovers.append(os.path.join(root, f))
+            if f == "_SUCCESS":
+                has_parquet = any(x.endswith(".parquet")
+                                  for x in os.listdir(root))
+                if not has_parquet:
+                    leftovers.append(os.path.join(root, f))
+    assert leftovers == [], leftovers
+    # expired v1 staging dirs are gone entirely (rmtree path)
+    assert all(not os.path.exists(p) for p in v1)
+    assert sorted(r.id for r in cat.read(spark, "t").collect()) == list(range(5))
