@@ -119,6 +119,17 @@ def cmd_jaccard(spark, args) -> dict:
     return _emit(Catalog(args.output), "jaccard_pairs", pairs, args.run_id)
 
 
+def cmd_cc(spark, args) -> dict:
+    """Near-dup clustering: shingle candidate pairs -> connected components
+    (doc_id, component_id) -> catalog."""
+    docs = _docs(spark, args)
+    comps = dedup_ops.connected_components(
+        dedup_ops.shingle_pairs(docs, n=args.ngram,
+                                min_shared=args.min_shared))
+    return _emit(Catalog(args.output), "neardup_components", comps,
+                 args.run_id)
+
+
 def cmd_minhash(spark, args) -> dict:
     pairs = dedup_ops.minhash_lsh_pairs(
         _docs(spark, args), min_est_jaccard=args.min_jaccard)
@@ -169,6 +180,11 @@ def main(argv=None) -> None:
     p.add_argument("--ngram", type=int, default=3)
     p.add_argument("--min-shared", type=int, default=2)
 
+    p = sub.add_parser("cc", help="near-dup clustering (connected components)")
+    _add_common(p)
+    p.add_argument("--ngram", type=int, default=3)
+    p.add_argument("--min-shared", type=int, default=2)
+
     p = sub.add_parser("minhash", help="MinHash-LSH candidate pairs")
     _add_common(p)
     p.add_argument("--min-jaccard", type=float, default=0.25)
@@ -193,6 +209,7 @@ def main(argv=None) -> None:
         "extract": cmd_extract,
         "dedup": cmd_dedup,
         "jaccard": cmd_jaccard,
+        "cc": cmd_cc,
         "minhash": cmd_minhash,
         "simhash": cmd_simhash,
         "ann": cmd_ann,

@@ -473,6 +473,14 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_pairs(d, pairs)
 
 
+def q_neardup_components(spark, sf_dir):
+    """Near-dup clustering: connected components over the shingle candidate
+    pairs (min-label propagation to fixpoint; the fixpoint is engine-
+    independent, so a DuckDB recursive CTE replicates it exactly)."""
+    pairs = dedup.shingle_pairs(_docs_wide(spark, sf_dir), n=3, min_shared=2)
+    return dedup.connected_components(pairs)
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     # hash_fn="md5" (default): oracle-reproducible permutation hashes
     return dedup.minhash_lsh_pairs(_docs_wide(spark, sf_dir),
@@ -915,6 +923,34 @@ ORACLES: dict[str, str] = {
         FROM p
         JOIN t ta ON ta.doc_id = doc_a
         JOIN t tb ON tb.doc_id = doc_b""",
+    "q_neardup_components": """
+        WITH RECURSIVE w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(len(ws) - 2),
+                        i -> array_to_string(ws[(i+1):(i+3)], ' ')))) AS sh
+          FROM w WHERE len(ws) >= 3
+        ), cnt AS (
+          SELECT sh, count(*) AS c FROM s GROUP BY sh
+        ), sc AS (
+          SELECT s.doc_id, s.sh FROM s JOIN cnt USING (sh) WHERE c <= 64
+        ), p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sc a JOIN sc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ), e AS (
+          SELECT doc_a AS a, doc_b AS b FROM p
+          UNION
+          SELECT doc_b, doc_a FROM p
+        ), reach(node, r) AS (
+          SELECT DISTINCT a, a FROM e
+          UNION
+          SELECT reach.node, e.b FROM reach JOIN e ON e.a = reach.r
+        )
+        SELECT node AS doc_id, min(r)::BIGINT AS component_id
+        FROM reach GROUP BY node""",
     "q_canonical_urls": f"""
         SELECT doc_id, {textfn.canonical_url_sql(_NOISY_URL_SQL)} AS canon_url
         FROM documents""",
@@ -1070,6 +1106,7 @@ QUERIES = {
     "q_exact_dedup": q_exact_dedup,
     "q_fingerprints": q_fingerprints,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_neardup_components": q_neardup_components,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_pii_redaction": q_pii_redaction,

@@ -348,3 +348,118 @@ def simhash_near_dups(df: DataFrame, key: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def connected_components(pairs: DataFrame, key_a: str = "doc_a",
+                         key_b: str = "doc_b", out_key: str = "doc_id",
+                         max_iters: int = 25,
+                         checkpoint_every: int = 4) -> DataFrame:
+    """Near-duplicate CLUSTERING: connected components over a candidate-pair
+    edge list (the step after LSH at corpus scale — pairs say "these two are
+    dups", components say "this is one document cluster, keep one copy").
+
+    Hash-min with pointer jumping: every node starts labelled with its own
+    id; each round (1) a node's label becomes the min over itself and its
+    neighbours, then (2) labels are re-pointed through the label table
+    itself (comp <- comp[comp], path compression). Jumping makes reach
+    DOUBLE per round, so convergence is O(log diameter) — ~8 rounds covers
+    a diameter-256 component, and real near-dup clusters are near-cliques
+    (2-3 rounds). Raises if `max_iters` rounds don't reach the fixpoint
+    rather than returning a silently-wrong partial labelling.
+
+    Iterative-plan discipline (the part naive loops get wrong): each round
+    references the previous labels ~3x, so the LOGICAL plan grows 3^rounds
+    without a lineage break — every `checkpoint_every` rounds the labels
+    get a leaf-plan reset, exactly why GraphFrames requires a checkpoint
+    dir for its CC. The reset is a driver round-trip while the label table
+    is small (`collect_break_max` rows of two longs — cheap, and it leaves
+    no checkpoint blocks behind, which keeps the loop viable in a 1 GB
+    driver), else `localCheckpoint()` (blocks reclaimed by Spark's
+    ContextCleaner once the result is dropped). Persisted rounds are
+    released as soon as superseded; the final label table is registered
+    for `release_caches()`. Per round: two shuffle joins (edges x labels,
+    labels x labels) + one min-aggregate + ONE convergence job (count and
+    changed-count in the same aggregate), all hash-partitioned on node id
+    (uniform keys — upstream pair generators cap hot buckets).
+
+    The reference has no graph step (single-doc pipeline); this extends the
+    LLM-data-pipeline suite (task brief: dedup as first-class). Deterministic
+    and oracle-reproducible: the fixpoint is engine-independent, so a DuckDB
+    recursive CTE replicates it exactly (contract.py q_neardup_components)."""
+    spark = pairs.sparkSession
+    collect_break_max = 200_000
+
+    def _leaf_reset(df: DataFrame, n_rows: int) -> DataFrame:
+        """Replace a DataFrame's plan with a materialized leaf. Driver
+        round-trip for small tables (no checkpoint blocks left behind —
+        keeps the loop viable in a 1 GB driver), localCheckpoint else."""
+        if n_rows <= collect_break_max:
+            return spark.createDataFrame(df.collect(), df.schema)
+        return df.localCheckpoint(eager=True)
+
+    e = pairs.select(F.col(key_a).alias("a"), F.col(key_b).alias("b"))
+    edges0 = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct().persist())
+    n_edges = edges0.count()
+    # leaf-reset BEFORE iterating: without it every round's logical plan
+    # embeds ~3^round copies of the whole upstream pair pipeline (the cache
+    # shortcuts execution but not plan analysis) — the analysis tree, not
+    # the data, is what blows the driver heap
+    edges = register_cache(_leaf_reset(edges0, n_edges).cache())
+    edges0.unpersist()
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("comp", F.col("node")))
+    prev = None
+    for it in range(max_iters):
+        neigh = edges.join(labels, edges["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "comp")
+        stepped = (
+            labels.unionByName(neigh)
+            .groupBy("node").agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp <- stepped[comp] (comp is always a node id, so
+        # the self-join is total). Aliases are load-bearing: an unqualified
+        # condition on a self-join of a derived frame can resolve both
+        # sides to the SAME attribute (Spark self-join ambiguity) and
+        # silently turn the jump into a no-op.
+        st, jm = stepped.alias("st"), stepped.alias("jm")
+        new_labels = st.join(
+            jm, F.col("st.comp") == F.col("jm.node")
+        ).select(
+            F.col("st.node").alias("node"), F.col("jm.comp").alias("comp")
+        ).persist()
+        stats = new_labels.alias("nw").join(
+            labels.alias("ol"), F.col("nw.node") == F.col("ol.node")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("nw.comp") != F.col("ol.comp")).cast("int"))
+            .alias("chg"),
+        ).first()
+        if prev is not None:
+            prev.unpersist()
+        if stats.chg == 0:
+            register_cache(new_labels)
+            return new_labels.select(F.col("node").alias(out_key),
+                                     F.col("comp").alias("component_id"))
+        if (it + 1) % checkpoint_every == 0:
+            broken = _leaf_reset(new_labels, stats.n)
+            new_labels.unpersist()
+            if stats.n <= collect_break_max:
+                broken = broken.persist()
+            new_labels = broken
+        prev = labels = new_labels
+    register_cache(labels)  # release_caches() frees it after the raise
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(pathological component diameter — raise max_iters)")
+
+
+def keep_canonical(df: DataFrame, components: DataFrame,
+                   key: str = "doc_id") -> DataFrame:
+    """Corpus keep-one filter: drop every clustered document except its
+    component's canonical (smallest-id) member; documents in no component
+    pass through untouched. `components` is connected_components output."""
+    losers = components.filter(
+        F.col(key) != F.col("component_id")).select(key)
+    return df.join(losers, key, "left_anti")

@@ -21,6 +21,7 @@ def _run(capsys, *argv) -> dict:
 @pytest.mark.parametrize("cmd,table", [
     ("dedup", "exact_dedup_groups"),
     ("jaccard", "jaccard_pairs"),
+    ("cc", "neardup_components"),
     ("minhash", "minhash_pairs"),
     ("simhash", "simhash_pairs"),
 ])

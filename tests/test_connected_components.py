@@ -1,0 +1,62 @@
+"""Near-dup clustering: connected components + keep-one corpus filter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+    dedup,
+)
+
+
+@pytest.fixture()
+def graph(spark):
+    # components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def test_components_label_by_min_member(spark, graph):
+    got = {r.doc_id: r.component_id
+           for r in dedup.connected_components(graph).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+    dedup.release_caches()
+
+
+def test_components_converge_on_long_chain(spark):
+    """A 64-node chain has diameter 63 — pointer jumping must converge in
+    O(log diameter) rounds (~8), nowhere near the naive ~diameter count."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long")
+    got = dedup.connected_components(chain, max_iters=12).collect()
+    assert {r.component_id for r in got} == {0}
+    assert len(got) == 64
+    dedup.release_caches()
+
+
+def test_components_raise_instead_of_partial_labels(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(chain, max_iters=2)
+    dedup.release_caches()
+
+
+def test_keep_canonical_filters_non_canonical_members(spark, graph):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+        "doc_id long, text string")
+    comps = dedup.connected_components(graph)
+    kept = sorted(r.doc_id for r in dedup.keep_canonical(docs, comps).collect())
+    # canonical member of each cluster + the unclustered doc survive
+    assert kept == [1, 10, 20, 99]
+    dedup.release_caches()
+
+
+def test_no_residual_caches_after_components(spark, graph):
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    dedup.connected_components(graph).collect()
+    dedup.release_caches()
+    after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
+    assert after - before == set()
