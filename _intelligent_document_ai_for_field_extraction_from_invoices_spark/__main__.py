@@ -9,6 +9,7 @@ LLM-data-pipeline operators, so the dedup suite runs without writing code:
 
     ... dedup   --input DIR --output CAT      # exact dedup groups
     ... jaccard --input DIR --output CAT      # n-gram shingle + Jaccard pairs
+    ... cc      --input DIR --output CAT      # near-dup clustering (components)
     ... minhash --input DIR --output CAT      # MinHash-LSH candidate pairs
     ... simhash --input DIR --output CAT      # SimHash near-dup pairs
     ... ann     --input DIR --output CAT --query-vec 1 [--k 5] [--probes 1]
@@ -46,7 +47,7 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
 
 def _docs(spark, args):
     docs = spark.read.parquet(f"{args.input}/documents.parquet")
-    if args.limit:
+    if args.limit is not None:
         docs = docs.limit(args.limit)
     # single-file tables otherwise run the pre-shuffle pipeline in one task
     return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -68,7 +69,7 @@ def _emit(catalog: Catalog, table: str, df, run_id: str) -> dict:
 
 def cmd_extract(spark, args) -> dict:
     docs = spark.read.parquet(f"{args.input}/documents.parquet")
-    if args.limit:
+    if args.limit is not None:
         docs = docs.limit(args.limit)
     pages = datagen.pages_from_documents(docs)
     catalog = Catalog(args.output)
@@ -144,7 +145,7 @@ def cmd_simhash(spark, args) -> dict:
 
 def cmd_ann(spark, args) -> dict:
     emb = spark.read.parquet(f"{args.input}/embeddings.parquet")
-    if args.limit:
+    if args.limit is not None:
         emb = emb.limit(args.limit)
     emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     cents = None
@@ -159,8 +160,10 @@ def cmd_ann(spark, args) -> dict:
 
 def main(argv=None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
-    if argv and argv[0].startswith("-"):
-        argv = ["extract", *argv]  # legacy flags-only invocation
+    # legacy flags-only invocation routes to `extract` — but bare -h/--help
+    # must still show the TOP-LEVEL help (the subcommand list)
+    if argv and argv[0].startswith("-") and argv[0] not in ("-h", "--help"):
+        argv = ["extract", *argv]
 
     ap = argparse.ArgumentParser(prog="webtext-extract")
     sub = ap.add_subparsers(dest="cmd", required=True)

@@ -986,8 +986,12 @@ ORACLES: dict[str, str] = {
         FROM embeddings GROUP BY label""",
     "q_embedding_near_dups": """
         WITH cents AS (
+          -- same adaptive sizing rule as similarity.cosine_near_dup_pairs:
+          -- C = max(8, n // 250), seed centroids = lowest C vec_ids
           SELECT vec_id AS centroid_id, embedding AS cvec
-          FROM embeddings WHERE vec_id < 8
+          FROM embeddings
+          WHERE vec_id < (SELECT greatest(8, count(*) // 250)
+                          FROM embeddings)
         ), scored AS (
           SELECT e.vec_id, c.centroid_id,
                  round(list_cosine_similarity(e.embedding::DOUBLE[],

@@ -24,8 +24,6 @@ from pyspark.sql import functions as F
 MINHASH_PERMS = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 
-_HEX = "0123456789abcdef"
-
 # Scoped-cache registry: hot-path operators cache DataFrames that feed
 # multiple plan branches (self-join sides, count+anti-join). The registry
 # lets a long-lived session release them all once results are materialized
@@ -433,8 +431,12 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
             labels.alias("ol"), F.col("nw.node") == F.col("ol.node")
         ).agg(
             F.count("*").alias("n"),
-            F.sum((F.col("nw.comp") != F.col("ol.comp")).cast("int"))
-            .alias("chg"),
+            # coalesce: sum over ZERO rows is null, and `None == 0` would
+            # make an empty pair set spin all max_iters then raise
+            F.coalesce(
+                F.sum((F.col("nw.comp") != F.col("ol.comp")).cast("int")),
+                F.lit(0),
+            ).alias("chg"),
         ).first()
         if prev is not None:
             prev.unpersist()

@@ -179,7 +179,9 @@ class Catalog:
                 n += len(parquets)
                 shutil.rmtree(sdir)
             else:
-                removed = 0
+                # `live` is non-empty here, so at least one parquet always
+                # stays and the _SUCCESS marker stays meaningful; the
+                # zero-files-left case is the rmtree branch above
                 for p in parquets:
                     if os.path.realpath(p) not in keep:
                         os.remove(p)
@@ -190,14 +192,6 @@ class Catalog:
                         if os.path.exists(crc):
                             os.remove(crc)
                         n += 1
-                        removed += 1
-                if removed == len(parquets):
-                    # no data files left: drop the _SUCCESS marker too so the
-                    # dir doesn't read as a committed-but-empty write
-                    for marker in ("_SUCCESS", "._SUCCESS.crc"):
-                        mp = os.path.join(sdir, marker)
-                        if os.path.exists(mp):
-                            os.remove(mp)
         return n
 
     def read(self, spark: SparkSession, table: str,

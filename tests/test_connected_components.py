@@ -60,3 +60,11 @@ def test_no_residual_caches_after_components(spark, graph):
     dedup.release_caches()
     after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
     assert after - before == set()
+
+
+def test_components_empty_pair_set_returns_empty(spark):
+    """sum() over zero rows is null — the convergence check must coalesce it
+    or an all-unique corpus spins max_iters and raises (review finding)."""
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.connected_components(empty).collect() == []
+    dedup.release_caches()
