@@ -68,3 +68,40 @@ def test_components_empty_pair_set_returns_empty(spark):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dedup.connected_components(empty).collect() == []
     dedup.release_caches()
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """Property: the distributed labelling equals a reference union-find on
+    seeded random graphs (mix of sparse chains and dense blobs)."""
+    import random
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = rng.randint(30, 120)
+        m = rng.randint(n // 2, n * 2)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+        if not edges:
+            continue
+        expected = union_find(edges)
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r.doc_id: r.component_id
+               for r in dedup.connected_components(df).collect()}
+        assert got == expected, f"trial {trial}"
+        dedup.release_caches()
