@@ -444,6 +444,7 @@ def q_token_stats(spark, sf_dir):
     d = textstats.with_token_stats(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
         "avg_token_len",
     )
 
@@ -839,9 +840,12 @@ ORACLES: dict[str, str] = {
         SELECT lang, source, count(*)::BIGINT AS n,
                round(avg(n_chars), 4) AS avg_chars
         FROM documents GROUP BY CUBE (lang, source)""",
-    "q_token_stats": """
+    "q_token_stats": f"""
         SELECT doc_id,
                len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
+               len(regexp_extract_all(text,
+                   '{textstats.BPE_PRETOKEN_PATTERN.replace("'", "''")}'))::BIGINT
+                 AS n_bpe_tokens,
                round(length(regexp_replace(text, '\\s+', '', 'g'))
                      / greatest(len(regexp_extract_all(text, '\\S+')), 1),
                      4) AS avg_token_len

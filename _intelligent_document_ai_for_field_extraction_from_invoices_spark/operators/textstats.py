@@ -25,11 +25,30 @@ def token_count_col(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"\S+"))
 
 
+# GPT-2-style pretokenizer, restricted to syntax BOTH Java regex and RE2
+# (the DuckDB oracle) support: no lookarounds (RE2 has none), Unicode
+# classes via \p{L}/\p{N}. Counts contraction suffixes, letter runs, digit
+# runs, punctuation runs, and residual whitespace runs — the standard
+# LLM-token-budget estimator shape (true BPE merges need the vocab; the
+# PREtokenizer count is the budgeting proxy).
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish token count (task brief: 'token counting — whitespace + a
+    BPE-ish regex'); ~the sub-word budget a GPT-style tokenizer would see."""
+    return F.regexp_count(text, F.lit(BPE_PRETOKEN_PATTERN))
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumns(
         {
             "n_tokens": token_count_col(t),
+            "n_bpe_tokens": bpe_token_count_col(t),
             "n_chars_actual": F.length(t),
             "avg_token_len": F.round(
                 (F.length(F.regexp_replace(t, r"\s+", "")))

@@ -97,3 +97,36 @@ def test_ml_pattern_banks_never_raise(s):
         assert _re.fullmatch(r"\d{4}-\d{2}-\d{2}", d)
         y = int(d[:4])
         assert 1990 <= y <= 2030
+
+
+def test_bpe_pretoken_pattern_is_engine_identical(spark):
+    """The BPE-ish pretokenizer pattern must count identically under Java
+    regex (Spark) and RE2 (DuckDB oracle) — adversarial inputs: contractions,
+    Indic script, digit runs, punctuation runs, NBSP, empty-ish strings."""
+    import duckdb
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+        textstats,
+    )
+
+    samples = [
+        "it's we're I'll they've don't y'all",
+        "hello world  multiple   spaces",
+        "टोकन गिनती हिंदी में 123 दिन",
+        "abc123def!!! ??? [bracketed] (parens)",
+        "nbsp here and\ttab",
+        "x",
+        "   ",
+        "2024-01-02 3.14159 1,000,000",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.n
+           for r in df.select("doc_id", textstats.bpe_token_count_col(
+               df.text).alias("n")).collect()}
+    con = duckdb.connect()
+    pat = textstats.BPE_PRETOKEN_PATTERN.replace("'", "''")
+    for i, s in enumerate(samples):
+        n = con.execute(
+            f"SELECT len(regexp_extract_all(?, '{pat}'))", [s]).fetchone()[0]
+        assert got[i] == n, (i, s, got[i], n)
