@@ -122,13 +122,18 @@ def cmd_jaccard(spark, args) -> dict:
 
 def cmd_cc(spark, args) -> dict:
     """Near-dup clustering: shingle candidate pairs -> connected components
-    (doc_id, component_id) -> catalog."""
+    (doc_id, component_id) -> catalog. With --keep-one, also write the
+    deduplicated corpus (canonical member per cluster + unclustered docs)."""
     docs = _docs(spark, args)
     comps = dedup_ops.connected_components(
         dedup_ops.shingle_pairs(docs, n=args.ngram,
                                 min_shared=args.min_shared))
-    return _emit(Catalog(args.output), "neardup_components", comps,
-                 args.run_id)
+    cat = Catalog(args.output)
+    out = _emit(cat, "neardup_components", comps, args.run_id)
+    if args.keep_one:
+        kept = dedup_ops.keep_canonical(docs, comps)
+        out["kept"] = _emit(cat, "docs_deduped", kept, args.run_id)
+    return out
 
 
 def cmd_minhash(spark, args) -> dict:
@@ -187,6 +192,9 @@ def main(argv=None) -> None:
     _add_common(p)
     p.add_argument("--ngram", type=int, default=3)
     p.add_argument("--min-shared", type=int, default=2)
+    p.add_argument("--keep-one", action="store_true",
+                   help="also write docs_deduped: one canonical doc per "
+                        "near-dup cluster plus all unclustered docs")
 
     p = sub.add_parser("minhash", help="MinHash-LSH candidate pairs")
     _add_common(p)

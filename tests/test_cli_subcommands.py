@@ -64,3 +64,19 @@ def test_legacy_flags_only_invocation_still_extracts(spark, tmp_path, capsys):
                "--limit", "40")
     assert out["cmd"] == "extract"
     assert out["documents"] == 40
+
+
+def test_cc_keep_one_writes_deduped_corpus(spark, tmp_path, capsys):
+    cat_dir = str(tmp_path / "cat")
+    out = _run(capsys, "cc", "--input", SF_DIR, "--output", cat_dir,
+               "--keep-one", "--run-id", "k1")
+    assert out["rows_written"] > 0 and out["kept"]["rows_written"] > 0
+    cat = Catalog(cat_dir)
+    comps = {r.doc_id: r.component_id
+             for r in cat.read(spark, "neardup_components").collect()}
+    kept = {r.doc_id for r in cat.read(spark, "docs_deduped").collect()}
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    # kept = canonical per component + all unclustered docs
+    losers = {d for d, c in comps.items() if d != c}
+    assert kept.isdisjoint(losers)
+    assert len(kept) == n_docs - len(losers)
