@@ -53,8 +53,12 @@ def _docs(spark, args):
     return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
-def _emit(catalog: Catalog, table: str, df, run_id: str) -> dict:
-    """Write a result table exactly-once per run id and return its stats."""
+def _emit(catalog: Catalog, table: str, df, run_id: str,
+          release: bool = True) -> dict:
+    """Write a result table exactly-once per run id and return its stats.
+    `release=False` keeps the operators' registered caches alive for a
+    follow-up emit that reuses the same upstream result (e.g. cc
+    --keep-one would otherwise re-run the whole iterative clustering)."""
     txn = f"cli:{table}:{run_id}"
     if catalog.exists(table) and txn in catalog.txns(table):
         rows = None  # replayed run id: already durably committed
@@ -63,7 +67,8 @@ def _emit(catalog: Catalog, table: str, df, run_id: str) -> dict:
         rows = df.count()  # persisted: the append below reuses the blocks
         catalog.append(table, df, txn=txn)
         df.unpersist()
-    dedup_ops.release_caches()
+    if release:
+        dedup_ops.release_caches()
     return {"table": table, "rows_written": rows, "txn": txn}
 
 
@@ -129,8 +134,11 @@ def cmd_cc(spark, args) -> dict:
         dedup_ops.shingle_pairs(docs, n=args.ngram,
                                 min_shared=args.min_shared))
     cat = Catalog(args.output)
-    out = _emit(cat, "neardup_components", comps, args.run_id)
+    out = _emit(cat, "neardup_components", comps, args.run_id,
+                release=not args.keep_one)
     if args.keep_one:
+        # comps' label/edge caches are still registered, so this reuses the
+        # clustering instead of re-running the iterative loop
         kept = dedup_ops.keep_canonical(docs, comps)
         out["kept"] = _emit(cat, "docs_deduped", kept, args.run_id)
     return out

@@ -662,6 +662,17 @@ def _simhash_oracle_sql(max_hamming: int = 8, max_bucket: int = 1024) -> str:
         SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
 
 
+def _pii_oracle_sql() -> str:
+    """Generated from the SAME textfn.PII_PATTERNS list the Spark side
+    chains (can't-drift discipline, like canonical_url); the patterns spell
+    \\s explicitly so Java and RE2 compile the identical classes."""
+    expr = "text"
+    for pat, token in textfn.PII_PATTERNS:
+        expr = (f"regexp_replace({expr}, "
+                f"'{pat.replace(chr(39), chr(39) * 2)}', '{token}', 'g')")
+    return f"SELECT doc_id, {expr} AS redacted FROM documents"
+
+
 def _kmeans_oracle_sql(num_centroids: int = 8, iters: int = 2,
                        query_vec_id: int = 1, k: int = 5) -> str:
     """ANSI-SQL twin of similarity.kmeans_centroids + the ivf_ann_query
@@ -961,16 +972,7 @@ ORACLES: dict[str, str] = {
     "q_minhash_lsh_pairs": _minhash_oracle_sql(),
     "q_simhash_near_dups": _simhash_oracle_sql(),
     "q_ivf_kmeans_ann_vec1": _kmeans_oracle_sql(),
-    "q_pii_redaction": """
-        SELECT doc_id,
-               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                 regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-                   '\\b\\d{2}[A-Z]{5}\\d{4}[A-Z][A-Z\\d]Z[A-Z\\d]\\b', '[GST]', 'g'),
-                   '\\b[A-Z]{5}\\d{4}[A-Z]\\b', '[PAN]', 'g'),
-                   '\\b\\d{4}\\s\\d{4}\\s\\d{4}\\b', '[ID]', 'g'),
-                   '\\+?\\d[\\d\\s()-]{8,}\\d', '[PHONE]', 'g') AS redacted
-        FROM documents""",
+    "q_pii_redaction": _pii_oracle_sql(),
     "q_stream_hourly_counts": """
         SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour,
                count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
@@ -1082,6 +1084,19 @@ ORACLES: dict[str, str] = {
         FROM embeddings e JOIN members USING (vec_id), q
         WHERE e.vec_id <> 2
         ORDER BY cos_sim DESC, e.vec_id LIMIT 8""",
+}
+
+# VT-divergence pin (round-3 review finding): Java regex \s includes \x0B
+# (vertical tab) but RE2 — DuckDB's engine — excludes it, so the bare
+# \s/\S shorthand shared between Spark patterns and these oracles would
+# compile to two different classes. The Spark-side tokenizers use
+# textstats.WS_RUN / NON_WS_RUN; rewrite the same shorthand here so both
+# engines split on the identical explicit class.
+ORACLES = {
+    k: v.replace(r"'\s+'", f"'{textstats.WS_RUN}'")
+        .replace(r"'\S+'", f"'{textstats.NON_WS_RUN}'")
+        .replace(r"'[^\w\s]'", rf"'[^\w{textstats.WS_CHARS}]'")
+    for k, v in ORACLES.items()
 }
 
 QUERIES = {

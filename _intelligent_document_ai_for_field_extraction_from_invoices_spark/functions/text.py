@@ -23,12 +23,16 @@ from pyspark.sql import types as T
 # P2 — PII redaction: chained regexp_replace, fully native
 # ---------------------------------------------------------------------------
 
+# \s spelled explicitly ([ \t\n\f\r\x0B]): the oracle engine (RE2) excludes
+# vertical tab from \s while Java includes it — the same VT pin as the
+# tokenizer splits (operators/textstats.WS_CHARS)
+_WS = r" \t\n\f\r\x0B"
 PII_PATTERNS = [  # specific before generic: the phone regex is greedy
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     (r"\b\d{2}[A-Z]{5}\d{4}[A-Z][A-Z\d]Z[A-Z\d]\b", "[GST]"),
     (r"\b[A-Z]{5}\d{4}[A-Z]\b", "[PAN]"),
-    (r"\b\d{4}\s\d{4}\s\d{4}\b", "[ID]"),
-    (r"\+?\d[\d\s()-]{8,}\d", "[PHONE]"),
+    (rf"\b\d{{4}}[{_WS}]\d{{4}}[{_WS}]\d{{4}}\b", "[ID]"),
+    (rf"\+?\d[\d{_WS}()-]{{8,}}\d", "[PHONE]"),
 ]
 
 

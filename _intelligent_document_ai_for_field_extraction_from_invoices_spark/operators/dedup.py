@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .textstats import SPARK_SQL_WS_RUN, WS_RUN
+
 MINHASH_PERMS = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 
@@ -88,7 +90,7 @@ def exact_dedup_groups(df: DataFrame, key: str = "doc_id",
 
 def _shingles(text_col: str, n: int):
     """n-word shingles as md5 digests — native exprs (transform/sequence)."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), WS_RUN)
     idx = F.sequence(F.lit(0), F.size(words) - n)
     return F.transform(
         idx, lambda i: F.md5(F.array_join(F.slice(words, i + 1, n), " "))
@@ -107,7 +109,7 @@ def shingle_pairs(df: DataFrame, key: str = "doc_id", text_col: str = "text",
     no reliance on caching the stream. The cap (`_cap_hot_keys`) is what
     makes the collect_list safe: bucket size is bounded BEFORE buffering."""
     ex = (
-        df.filter(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n)
+        df.filter(F.size(F.split(F.trim(F.col(text_col)), WS_RUN)) >= n)
         .select(F.col(key).alias("k"),
                 F.explode(F.array_distinct(_shingles(text_col, n))).alias("sh"))
     )
@@ -138,7 +140,7 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
     evaluate.py:221-231: intersection/union of token sets)."""
     toks = register_cache(df.select(
         F.col(key).alias("k"),
-        F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+")).alias("toks"),
+        F.array_distinct(F.split(F.trim(F.col(text_col)), WS_RUN)).alias("toks"),
     ).cache())  # joined twice (doc_a and doc_b sides); released via release_caches()
     j = (
         pairs.join(toks.withColumnRenamed("k", "doc_a")
@@ -189,7 +191,7 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id",
     the shuffle carries num_perms values per DOC — a posexplode formulation
     would shuffle num_perms hashed rows per SHINGLE, ~16x the data."""
     toks = df.filter(
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= shingle_n
+        F.size(F.split(F.trim(F.col(text_col)), WS_RUN)) >= shingle_n
     ).select(
         F.col(key).alias("k"),
         F.explode(
@@ -284,7 +286,7 @@ def simhash_signatures(df: DataFrame, key: str = "doc_id",
     toks = df.selectExpr(
         f"{key} AS k",
         "explode_outer(filter(array_distinct("
-        f"split(trim({text_col}), '\\\\s+')), x -> x != '')) AS tok",
+        f"split(trim({text_col}), '{SPARK_SQL_WS_RUN}')), x -> x != '')) AS tok",
     )
     # two conv() calls per token, not 16: hex chars 1-15 -> bits 63..4
     # ("hi", < 2^60 so the signed long conv is exact), char 16 -> bits 3..0

@@ -12,6 +12,20 @@ from pyspark.sql import functions as F
 
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "for"]
 
+# Tokenization whitespace, spelled EXPLICITLY: Java regex \s is
+# [ \t\n\x0B\f\r] but RE2 — the DuckDB oracle engine — excludes \x0B
+# (vertical tab) from \s, so a bare \s/\S shared between a Spark pattern
+# and its oracle silently compiles to two different classes. Every
+# tokenizer split on either side uses these constants (review finding,
+# round 3). Python's \s is wider still — see golden.WS_NORM_PATTERN.
+WS_CHARS = r" \t\n\f\r\x0B"
+WS_RUN = rf"[{WS_CHARS}]+"          # == Java \s+ ; embed as-is in DuckDB '…'
+NON_WS_RUN = rf"[^{WS_CHARS}]+"     # == Java \S+
+# inside a SPARK SQL '…' literal backslash escapes are processed once, so
+# the regex source needs its backslashes doubled (DuckDB literals don't
+# process escapes — use WS_RUN there directly)
+SPARK_SQL_WS_RUN = WS_RUN.replace("\\", "\\\\")
+
 # Unicode script ranges shared with the DuckDB oracle (explicit code points —
 # portable across Java regex and RE2 dialects).
 CJK_RANGE = "一-鿿"
@@ -22,18 +36,19 @@ LATIN_RANGE = "A-Za-z"
 
 def token_count_col(text: Column) -> Column:
     """Whitespace token count — `regexp_count` stays in codegen."""
-    return F.regexp_count(text, F.lit(r"\S+"))
+    return F.regexp_count(text, F.lit(NON_WS_RUN))
 
 
 # GPT-2-style pretokenizer, restricted to syntax BOTH Java regex and RE2
 # (the DuckDB oracle) support: no lookarounds (RE2 has none), Unicode
-# classes via \p{L}/\p{N}. Counts contraction suffixes, letter runs, digit
-# runs, punctuation runs, and residual whitespace runs — the standard
-# LLM-token-budget estimator shape (true BPE merges need the vocab; the
-# PREtokenizer count is the budgeting proxy).
+# classes via \p{L}/\p{N}, whitespace via the explicit WS_CHARS class
+# (bare \s would diverge on vertical tab). Counts contraction suffixes,
+# letter runs, digit runs, punctuation runs, and residual whitespace runs
+# — the standard LLM-token-budget estimator shape (true BPE merges need
+# the vocab; the PREtokenizer count is the budgeting proxy).
 BPE_PRETOKEN_PATTERN = (
     r"'(?:s|t|re|ve|m|ll|d)"
-    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    rf"| ?\p{{L}}+| ?\p{{N}}+| ?[^{WS_CHARS}\p{{L}}\p{{N}}]+|[{WS_CHARS}]+"
 )
 
 
@@ -51,7 +66,7 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_bpe_tokens": bpe_token_count_col(t),
             "n_chars_actual": F.length(t),
             "avg_token_len": F.round(
-                (F.length(F.regexp_replace(t, r"\s+", "")))
+                (F.length(F.regexp_replace(t, WS_RUN, "")))
                 / F.greatest(token_count_col(t), F.lit(1)),
                 4,
             ),
@@ -91,7 +106,8 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_alt = "|".join(STOPWORDS)
     n_stop = F.regexp_count(F.lower(t), F.lit(rf"\b(?:{stop_alt})\b"))
     stop_ratio = n_stop / n_tok
-    punct_ratio = F.regexp_count(t, F.lit(r"[^\w\s]")) / F.greatest(F.length(t), F.lit(1))
+    punct_ratio = (F.regexp_count(t, F.lit(rf"[^\w{WS_CHARS}]"))
+                   / F.greatest(F.length(t), F.lit(1)))
     len_band = (
         F.when(F.length(t) < 50, 0.2)
         .when(F.length(t) < 200, 0.6)

@@ -114,7 +114,9 @@ def test_bpe_pretoken_pattern_is_engine_identical(spark):
         "hello world  multiple   spaces",
         "टोकन गिनती हिंदी में 123 दिन",
         "abc123def!!! ??? [bracketed] (parens)",
-        "nbsp here and\ttab",
+        "real nbsp and\ttab",     # NBSP: non-space in BOTH engines
+        "!\x0b!",                       # VT: Java \s has it, RE2 \s does NOT
+        "a \x0b. b",                    # — the explicit class must agree
         "x",
         "   ",
         "2024-01-02 3.14159 1,000,000",
