@@ -56,7 +56,8 @@ class Catalog:
 
     def _commit(self, table: str, files: list[str], operation: str,
                 parent: int | None, added: list[str] | None = None,
-                txn: str | None = None) -> int:
+                txn: str | None = None,
+                partitions: dict[str, dict[str, str]] | None = None) -> int:
         meta = self._meta(table)
         os.makedirs(meta, exist_ok=True)
         version = (parent or 0) + 1
@@ -67,6 +68,7 @@ class Catalog:
             "files": sorted(files),
             "added": sorted(added) if added is not None else None,
             "txn": txn,
+            "partitions": partitions or {},
             "committed_at": time.time(),
         }
         with open(os.path.join(meta, f"v{version}.json"), "w") as f:
@@ -92,32 +94,65 @@ class Catalog:
                     out.append(json.load(f))
         return sorted(out, key=lambda s: s["version"])
 
-    def _stage(self, table: str, df: DataFrame) -> list[str]:
+    def _stage(self, table: str, df: DataFrame,
+               partition_by: list[str] | None = None
+               ) -> tuple[list[str], dict[str, dict[str, str]]]:
+        """Write a staging commit; returns (files, partitions) where
+        `partitions` maps file path -> {col: value} parsed from the
+        hive-style directory layout. Partition columns are DUPLICATED into
+        shadow `_p_<col>` dir keys so the data files keep the original
+        column (snapshot reads use explicit file lists, which cannot
+        recover dir-encoded values the way a directory scan would)."""
         stage_dir = os.path.join(self._tdir(table), "data", uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(stage_dir)
-        return [
-            os.path.join(stage_dir, fn)
-            for fn in os.listdir(stage_dir)
-            if fn.endswith(".parquet")
-        ]
+        if partition_by:
+            from pyspark.sql import functions as F  # noqa: PLC0415
 
-    def overwrite(self, table: str, df: DataFrame) -> int:
-        files = self._stage(table, df)
+            shadowed = df.withColumns(
+                {f"_p_{c}": F.col(c).cast("string") for c in partition_by})
+            shadowed.write.partitionBy(
+                *[f"_p_{c}" for c in partition_by]
+            ).mode("overwrite").parquet(stage_dir)
+        else:
+            df.write.mode("overwrite").parquet(stage_dir)
+        files: list[str] = []
+        partitions: dict[str, dict[str, str]] = {}
+        for root, _dirs, fns in os.walk(stage_dir):
+            pvals = {}
+            rel = os.path.relpath(root, stage_dir)
+            for seg in rel.split(os.sep):
+                if "=" in seg and seg.startswith("_p_"):
+                    k, v = seg.split("=", 1)
+                    pvals[k[3:]] = v
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    files.append(p)
+                    if pvals:
+                        partitions[p] = pvals
+        return files, partitions
+
+    def overwrite(self, table: str, df: DataFrame,
+                  partition_by: list[str] | None = None) -> int:
+        files, parts = self._stage(table, df, partition_by)
         cur = self._read_current(table)
         return self._commit(table, files, "overwrite",
-                            cur["version"] if cur else None)
+                            cur["version"] if cur else None,
+                            partitions=parts)
 
-    def append(self, table: str, df: DataFrame, txn: str | None = None) -> int:
+    def append(self, table: str, df: DataFrame, txn: str | None = None,
+               partition_by: list[str] | None = None) -> int:
         """Append with an optional transaction tag. A multi-table writer tags
         every table's append with one txn id and commits a marker table last;
         `remove_orphan_appends` can then roll back appends whose txn never
         reached the marker — pure metadata surgery, no data rewrite."""
-        files = self._stage(table, df)
+        files, parts = self._stage(table, df, partition_by)
         cur = self._read_current(table)
         base = cur["files"] if cur else []
+        base_parts = dict(cur.get("partitions") or {}) if cur else {}
+        base_parts.update(parts)
         return self._commit(table, base + files, "append",
                             cur["version"] if cur else None,
-                            added=files, txn=txn)
+                            added=files, txn=txn, partitions=base_parts)
 
     def txns(self, table: str) -> set[str]:
         """Transaction tags of all snapshots ever committed to `table`."""
@@ -169,8 +204,12 @@ class Catalog:
             sdir = os.path.join(data_root, stage)
             if not os.path.isdir(sdir):
                 continue
-            parquets = [os.path.join(sdir, f) for f in os.listdir(sdir)
-                        if f.endswith(".parquet")]
+            # walk RECURSIVELY: partitioned staging commits nest their data
+            # files under hive-style key=value dirs — a flat listdir would
+            # see zero parquet files and rmtree a live commit
+            parquets = [os.path.join(root, f)
+                        for root, _dirs, fs in os.walk(sdir)
+                        for f in fs if f.endswith(".parquet")]
             live = [p for p in parquets if os.path.realpath(p) in keep]
             if not live:
                 # whole staging commit expired: drop it with its markers
@@ -194,8 +233,7 @@ class Catalog:
                         n += 1
         return n
 
-    def read(self, spark: SparkSession, table: str,
-             version: int | None = None) -> DataFrame:
+    def _snap(self, table: str, version: int | None) -> dict:
         if version is None:
             snap = self._read_current(table)
         else:
@@ -203,6 +241,35 @@ class Catalog:
                 snap = json.load(f)
         if snap is None:
             raise FileNotFoundError(f"table not found: {table}")
-        if not snap["files"]:
-            raise ValueError(f"empty table: {table}")
-        return spark.read.parquet(*snap["files"])
+        return snap
+
+    def scan_files(self, table: str, where: dict[str, str] | None = None,
+                   version: int | None = None) -> list[str]:
+        """Snapshot file list after MANIFEST-LEVEL partition pruning — the
+        Iceberg move: a reader with a partition predicate never opens
+        non-matching files. Files without recorded partition values for a
+        predicate column are conservatively kept (pruning is an
+        optimization; `read` applies the residual row filter)."""
+        snap = self._snap(table, version)
+        files = snap["files"]
+        if not where:
+            return files
+        parts = snap.get("partitions") or {}
+        return [
+            f for f in files
+            if all(parts.get(f, {}).get(k, v) == v for k, v in where.items())
+        ]
+
+    def read(self, spark: SparkSession, table: str,
+             version: int | None = None,
+             where: dict[str, str] | None = None) -> DataFrame:
+        """Read a snapshot; `where={col: value}` prunes at the manifest
+        level (only matching partitions' files are opened) and applies the
+        residual row filter for exactness."""
+        files = self.scan_files(table, where, version)
+        if not files:
+            raise ValueError(f"empty table or fully pruned: {table}")
+        df = spark.read.parquet(*files)
+        for k, v in (where or {}).items():
+            df = df.filter(df[k].cast("string") == v)
+        return df
