@@ -126,13 +126,21 @@ def cmd_jaccard(spark, args) -> dict:
 
 
 def cmd_cc(spark, args) -> dict:
-    """Near-dup clustering: shingle candidate pairs -> connected components
-    (doc_id, component_id) -> catalog. With --keep-one, also write the
-    deduplicated corpus (canonical member per cluster + unclustered docs)."""
+    """Near-dup clustering: candidate pairs (any LSH family) -> connected
+    components (doc_id, component_id) -> catalog. With --keep-one, also
+    write the deduplicated corpus (canonical member per cluster +
+    unclustered docs)."""
     docs = _docs(spark, args)
-    comps = dedup_ops.connected_components(
-        dedup_ops.shingle_pairs(docs, n=args.ngram,
-                                min_shared=args.min_shared))
+    if args.method == "shingle":
+        pairs = dedup_ops.shingle_pairs(docs, n=args.ngram,
+                                        min_shared=args.min_shared)
+    elif args.method == "minhash":
+        pairs = dedup_ops.minhash_lsh_pairs(docs,
+                                            min_est_jaccard=args.min_jaccard)
+    else:
+        pairs = dedup_ops.simhash_near_dups(docs,
+                                            max_hamming=args.max_hamming)
+    comps = dedup_ops.connected_components(pairs)
     cat = Catalog(args.output)
     out = _emit(cat, "neardup_components", comps, args.run_id,
                 release=not args.keep_one)
@@ -198,8 +206,13 @@ def main(argv=None) -> None:
 
     p = sub.add_parser("cc", help="near-dup clustering (connected components)")
     _add_common(p)
+    p.add_argument("--method", choices=["shingle", "minhash", "simhash"],
+                   default="shingle",
+                   help="candidate-pair generator feeding the clustering")
     p.add_argument("--ngram", type=int, default=3)
     p.add_argument("--min-shared", type=int, default=2)
+    p.add_argument("--min-jaccard", type=float, default=0.25)
+    p.add_argument("--max-hamming", type=int, default=8)
     p.add_argument("--keep-one", action="store_true",
                    help="also write docs_deduped: one canonical doc per "
                         "near-dup cluster plus all unclustered docs")

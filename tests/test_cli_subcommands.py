@@ -80,3 +80,11 @@ def test_cc_keep_one_writes_deduped_corpus(spark, tmp_path, capsys):
     losers = {d for d, c in comps.items() if d != c}
     assert kept.isdisjoint(losers)
     assert len(kept) == n_docs - len(losers)
+
+
+@pytest.mark.parametrize("method", ["minhash", "simhash"])
+def test_cc_alternative_pair_methods(spark, tmp_path, capsys, method):
+    out = _run(capsys, "cc", "--input", SF_DIR,
+               "--output", str(tmp_path / "cat"),
+               "--method", method, "--run-id", f"m-{method}")
+    assert out["rows_written"] > 0
