@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -122,7 +123,12 @@ class Catalog:
             for seg in rel.split(os.sep):
                 if "=" in seg and seg.startswith("_p_"):
                     k, v = seg.split("=", 1)
-                    pvals[k[3:]] = v
+                    # Spark hive-escapes dir values (':' -> '%3A' etc.);
+                    # record the UNESCAPED value or predicates with any
+                    # escaped character would silently prune matching files.
+                    # Null/empty values keep Spark's
+                    # __HIVE_DEFAULT_PARTITION__ sentinel.
+                    pvals[k[3:]] = urllib.parse.unquote(v)
             for fn in fns:
                 if fn.endswith(".parquet"):
                     p = os.path.join(root, fn)
@@ -174,7 +180,10 @@ class Catalog:
         keep = [f for f in cur["files"] if f not in dead]
         n_removed = len(cur["files"]) - len(keep)
         if n_removed:
-            self._commit(table, keep, "rollback", cur["version"])
+            keep_parts = {f: p for f, p in (cur.get("partitions") or {}).items()
+                          if f not in dead}
+            self._commit(table, keep, "rollback", cur["version"],
+                         partitions=keep_parts)
         return n_removed
 
     def vacuum(self, table: str, keep_versions: int = 1) -> int:
@@ -231,6 +240,11 @@ class Catalog:
                         if os.path.exists(crc):
                             os.remove(crc)
                         n += 1
+                # drop hive partition dirs emptied by the removals
+                # (bottom-up; never the stage root itself)
+                for root, _dirs, _fns in os.walk(sdir, topdown=False):
+                    if root != sdir and not os.listdir(root):
+                        os.rmdir(root)  # live check: walk caches listings
         return n
 
     def _snap(self, table: str, version: int | None) -> dict:
@@ -243,21 +257,25 @@ class Catalog:
             raise FileNotFoundError(f"table not found: {table}")
         return snap
 
-    def scan_files(self, table: str, where: dict[str, str] | None = None,
+    def scan_files(self, table: str, *, where: dict | None = None,
                    version: int | None = None) -> list[str]:
         """Snapshot file list after MANIFEST-LEVEL partition pruning — the
         Iceberg move: a reader with a partition predicate never opens
         non-matching files. Files without recorded partition values for a
         predicate column are conservatively kept (pruning is an
-        optimization; `read` applies the residual row filter)."""
+        optimization; `read` applies the residual row filter). Predicate
+        values are compared as strings (manifest values always are — the
+        keyword-only signature also keeps `version` and `where` from being
+        swapped positionally)."""
         snap = self._snap(table, version)
         files = snap["files"]
         if not where:
             return files
         parts = snap.get("partitions") or {}
+        want = {k: str(v) for k, v in where.items()}
         return [
             f for f in files
-            if all(parts.get(f, {}).get(k, v) == v for k, v in where.items())
+            if all(parts.get(f, {}).get(k, v) == v for k, v in want.items())
         ]
 
     def read(self, spark: SparkSession, table: str,
@@ -266,10 +284,16 @@ class Catalog:
         """Read a snapshot; `where={col: value}` prunes at the manifest
         level (only matching partitions' files are opened) and applies the
         residual row filter for exactness."""
-        files = self.scan_files(table, where, version)
+        files = self.scan_files(table, where=where, version=version)
+        all_files = self._snap(table, version)["files"]
+        if not all_files:
+            raise ValueError(f"empty table: {table}")
         if not files:
-            raise ValueError(f"empty table or fully pruned: {table}")
+            # a predicate matching zero partitions is a normal query
+            # outcome: empty result with the table's schema, same as when
+            # the residual filter drops every row
+            return spark.read.parquet(*all_files).limit(0)
         df = spark.read.parquet(*files)
         for k, v in (where or {}).items():
-            df = df.filter(df[k].cast("string") == v)
+            df = df.filter(df[k].cast("string") == str(v))
         return df

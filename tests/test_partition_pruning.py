@@ -59,3 +59,47 @@ def test_vacuum_keeps_live_partitioned_files(spark, cat, tmp_path):
     got = cat.read(spark, "docs").collect()
     assert {r.lang for r in got} == {"zh"}
     assert len(got) == 30
+
+
+def test_escaped_partition_values_round_trip(spark, tmp_path):
+    """Spark hive-escapes dir values (':' -> '%3A'); the manifest must
+    record the UNESCAPED value or predicates silently prune matching
+    files (review finding — silent row loss)."""
+    cat = Catalog(str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00"), (2, "2024-01-02 08:30:00")],
+        "doc_id long, day string")
+    cat.append("t", df, partition_by=["day"])
+    got = cat.read(spark, "t", where={"day": "2024-01-01 12:00:00"}).collect()
+    assert [r.doc_id for r in got] == [1]
+    assert len(cat.scan_files("t", where={"day": "2024-01-01 12:00:00"})) >= 1
+
+
+def test_non_string_predicate_values_coerce(spark, tmp_path):
+    cat = Catalog(str(tmp_path))
+    df = spark.createDataFrame([(1, 2024), (2, 2025)],
+                               "doc_id long, year int")
+    cat.append("t", df, partition_by=["year"])
+    got = cat.read(spark, "t", where={"year": 2024}).collect()
+    assert [r.doc_id for r in got] == [1]
+
+
+def test_fully_pruned_read_returns_empty_frame(spark, cat):
+    got = cat.read(spark, "docs", where={"lang": "fr"})
+    assert got.count() == 0
+    assert set(got.columns) == {"doc_id", "lang", "text"}
+
+
+def test_rollback_preserves_partition_metadata(spark, tmp_path):
+    """remove_orphan_appends' rollback commit must carry forward the
+    surviving files' partition values, or pruning silently dies."""
+    cat = Catalog(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, ["en", "hi"][i % 2]) for i in range(20)],
+        "doc_id long, lang string")
+    cat.append("t", df, partition_by=["lang"], txn="good")
+    cat.append("t", spark.createDataFrame([(99, "zz")],
+               "doc_id long, lang string"), partition_by=["lang"], txn="dead")
+    cat.remove_orphan_appends("t", live_txns={"good"})
+    pruned = cat.scan_files("t", where={"lang": "en"})
+    assert 0 < len(pruned) < len(cat.scan_files("t"))
