@@ -24,6 +24,8 @@ from . import datagen
 from .functions import text as textfn
 from .operators import dedup, sessionize, similarity, textstats
 from .operators.extract import extract_pages
+from .plans import lineage
+from .sources.tables import Catalog
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -178,6 +180,55 @@ def q_extract_status_summary(spark, sf_dir):
 def q_extract_blocks_kept(spark, sf_dir):
     return extraction_results(spark, sf_dir).select(
         "doc_id", F.col("n_blocks_kept").cast("long").alias("n_blocks_kept")
+    )
+
+
+# one materialized pipeline catalog per (session, sf) — same keying/bounding
+# rationale as _RESULTS_CACHE; dirs are reclaimed at process exit
+_PIPELINE_CATS: dict[tuple[SparkSession, str], Catalog] = {}
+
+
+def pipeline_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Materialize the full extraction pipeline ONCE per (session, sf) into
+    a committed, day-partitioned catalog table (plans/lineage.py), so
+    contract queries can exercise the PRODUCTION read path — manifest-pruned
+    scans over snapshot commits — not just in-memory DataFrames."""
+    key = (spark, sf_dir)
+    if key not in _PIPELINE_CATS:
+        import atexit  # noqa: PLC0415
+        import shutil  # noqa: PLC0415
+        import tempfile  # noqa: PLC0415
+
+        tmp = tempfile.mkdtemp(prefix="sparkgraft_contract_cat_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        cat = Catalog(tmp)
+        docs = _t(spark, sf_dir, "documents")
+        pages = datagen.pages_from_documents(docs)
+        lineage.run_extraction(spark, pages, cat, "contract-run")
+        _PIPELINE_CATS[key] = cat
+    return _PIPELINE_CATS[key]
+
+
+# page timestamps are EPOCH_TS + doc_id minutes (datagen.warc_ts_for). The
+# driver's documents table is 500 rows at every sf, so the whole corpus is
+# one crawl day and this range predicate hash-verifies without shrinking the
+# file set here; the actual file-set shrink is pinned in
+# tests/test_partition_pruning.py over a multi-day synthetic corpus
+_DAY_LO, _DAY_HI = "2025-01-01", "2025-01-02"
+
+
+def q_results_by_day_pruned(spark, sf_dir):
+    """The daily-report read a real user runs: a day-range slice of the
+    committed results table. The catalog prunes non-matching warc_day
+    manifests/files before any footer is opened (tables.py:scan_files)."""
+    res = pipeline_catalog(spark, sf_dir).read(
+        spark, lineage.RESULTS_TABLE,
+        where={"warc_day": ("between", _DAY_LO, _DAY_HI)})
+    return res.groupBy("warc_day").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("status") == "failed", 1).otherwise(0))
+         .cast("long").alias("n_failed"),
+        F.sum(F.length("body_text")).cast("long").alias("body_bytes"),
     )
 
 
@@ -742,6 +793,25 @@ def _kmeans_oracle_sql(num_centroids: int = 8, iters: int = 2,
 
 ORACLES: dict[str, str] = {
     **_EXTRACT_ORACLES,
+    # day slice of committed results: warc_ts = EPOCH + doc_id minutes
+    # (datagen.warc_ts_for), body/status from the mirrored extraction
+    # arithmetic — the pruned catalog read must reproduce it exactly
+    "q_results_by_day_pruned": f"""
+        WITH body AS ({_EXTRACT_ORACLES["extract_body"]}),
+        d AS (
+          SELECT doc_id,
+                 strftime(TIMESTAMP '2025-01-01 00:00:00'
+                          + doc_id * INTERVAL 1 MINUTE, '%Y-%m-%d') AS warc_day
+          FROM documents
+        )
+        SELECT d.warc_day,
+               count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN d.doc_id % 97 = 96 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_failed,
+               sum(length(b.body_text))::BIGINT AS body_bytes
+        FROM d JOIN body b ON d.doc_id = b.doc_id
+        WHERE d.warc_day BETWEEN '{_DAY_LO}' AND '{_DAY_HI}'
+        GROUP BY 1""",
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
@@ -1106,6 +1176,7 @@ QUERIES = {
     "extract_body": q_extract_body,
     "extract_status_summary": q_extract_status_summary,
     "extract_blocks_kept": q_extract_blocks_kept,
+    "q_results_by_day_pruned": q_results_by_day_pruned,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q_region_customer_stats": q_region_customer_stats,

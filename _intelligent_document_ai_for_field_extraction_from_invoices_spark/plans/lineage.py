@@ -90,6 +90,15 @@ def run_extraction(spark: SparkSession, pages: DataFrame, catalog: Catalog,
         if catalog.exists(t):
             catalog.remove_orphan_appends(t, live)
 
+    # results land PARTITIONED by crawl day (the read users do daily: "give
+    # me one day of one crawl" — a manifest-pruned scan instead of a full
+    # table scan); warc_day rides through the extraction UDF as a
+    # passthrough column so no join-back shuffle is needed
+    partition_results = "warc_ts" in pages.columns
+    if partition_results:
+        pages = pages.withColumn(
+            "warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))
+
     stamped = stamp_part_id(pages, num_partitions)
     done = committed_parts(spark, catalog)
     n_total_parts = num_partitions
@@ -111,11 +120,16 @@ def run_extraction(spark: SparkSession, pages: DataFrame, catalog: Catalog,
     todo = remaining.filter(F.col("part_id").isin(part_ids))
     # group commit: extract all todo partitions in one distributed pass, the
     # stable checkpoint part_id rides through the UDF (no join-back shuffle)
+    passthrough = [("ckpt_part", "int")]
+    in_cols = ["url", "html", F.col("part_id").alias("ckpt_part")]
+    if partition_results:
+        passthrough.append(("warc_day", "string"))
+        in_cols.append(F.col("warc_day"))
     results = (
         extract_pages(
-            todo.select("url", "html", F.col("part_id").alias("ckpt_part")),
+            todo.select(*in_cols),
             num_partitions=num_partitions,
-            passthrough=[("ckpt_part", "int")],
+            passthrough=passthrough,
             with_timings=True,  # A8: lineage carries measured wall_ms
         )
         .withColumn("run_id", F.lit(run_id))
@@ -126,8 +140,10 @@ def run_extraction(spark: SparkSession, pages: DataFrame, catalog: Catalog,
     rows_written = results.count()
 
     txn = f"{run_id}:{uuid.uuid4().hex[:12]}"
-    catalog.append(RESULTS_TABLE, results, txn=txn)
-    catalog.append(LINEAGE_TABLE, lineage_rows(results, run_id), txn=txn)
+    catalog.append(RESULTS_TABLE, results, txn=txn,
+                   partition_by=["warc_day"] if partition_results else None)
+    catalog.append(LINEAGE_TABLE, lineage_rows(results, run_id), txn=txn,
+                   partition_by=["run_id"])
     if fail_before_checkpoint:
         results.unpersist()
         raise RuntimeError("simulated crash before checkpoint commit")

@@ -6,12 +6,44 @@ append/overwrite, time-travel-able snapshot history, and idempotent replace —
 behind a `Catalog.read/write/append` API that is a config swap for a real
 Iceberg catalog (`df.writeTo(tbl).append()`).
 
+Metadata layout (Iceberg manifest-list shape — round 4; the round-3 layout
+rewrote the FULL cumulative file list into every snapshot, O(files) metadata
+per append and O(files^2) over a table's life, which at the 10^12-row north
+star is the first driver bottleneck):
+
+  <table>/_meta/m-<uuid>.json   MANIFEST: the files ADDED by one commit
+                                (path + partition values + txn per file)
+  <table>/_meta/v<N>.json       SNAPSHOT: a manifest LIST — one small entry
+                                per live manifest (path, n_files, txn set,
+                                per-column partition-value summary)
+  <table>/_meta/_current        the version pointer (atomic os.replace flip)
+
+An append therefore writes O(new files) manifest bytes plus an O(#manifests)
+snapshot, and #manifests is kept bounded by merging small manifests on
+commit (Iceberg's commit.manifest.min-count-to-merge analogue), so metadata
+bytes per append stay flat no matter how many commits the table has seen.
+Readers prune at the manifest-list level first — a partition predicate that
+rules out a manifest's value summary never opens that manifest at all.
+
 Commit protocol (single-writer, driver-side — SURVEY §7.3.5):
   1. executors write parquet files into  <table>/data/<uuid>/        (staging)
-  2. the driver writes a snapshot manifest <table>/_meta/v<N>.json   (file list)
+  2. the driver writes manifest + snapshot under <table>/_meta/
   3. the driver atomically flips          <table>/_meta/_current     (os.replace)
-Readers resolve _current -> manifest -> explicit file list, so a crash between
-1 and 3 leaves only unreferenced staging files (never a torn table).
+Readers resolve _current -> snapshot -> manifests -> explicit file list, so a
+crash between 1 and 3 leaves only unreferenced staging files (never a torn
+table).
+
+Partition predicates (`where=` on read/scan_files) accept:
+  {"lang": "en"}                          equality
+  {"lang": ("in", ["en", "hi"])}          membership
+  {"day": (">=", "2025-01-01")}           range (also <=, >, <)
+  {"day": ("between", "2025-01-01", "2025-02-01")}   inclusive range
+Values compare as Spark STRING casts (manifest values always are): range
+predicates are lexicographic, which is correct for zero-padded dates and
+fixed-width keys — the pipeline's partition columns. Python bool/int/None
+predicate values are normalized to Spark's cast-to-string form ('true', not
+'True'); floats raise (Java's Double.toString disagrees with Python repr —
+pass the string you partitioned with).
 """
 
 from __future__ import annotations
@@ -24,6 +56,139 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Spark writes null AND empty-string partition values to this hive dir name;
+# the residual filter for an equality-with-null predicate therefore matches
+# both (documented lossy hive encoding, same as real hive-partitioned tables)
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# manifest merge policy: when at least MERGE_MIN manifests smaller than
+# SMALL_MANIFEST files have accumulated, one commit folds them into a single
+# manifest. Each merge multiplies a file's manifest size ~MERGE_MIN-fold, so
+# a file is rewritten O(log(SMALL_MANIFEST)/log(MERGE_MIN)) ~= 1-2 times in
+# its life — amortized O(1) metadata work per file.
+MERGE_MIN = 16
+SMALL_MANIFEST = 64
+# value summaries larger than this collapse to {min,max} bounds
+SUMMARY_MAX_VALUES = 16
+
+
+def _pvalue(v) -> str:
+    """Normalize a Python predicate value to Spark's cast-to-string form.
+
+    bool must map to 'true'/'false' (Python str() gives 'True' — a silent
+    empty result); None maps to the hive null sentinel; floats raise because
+    Java Double.toString ('1.0E21') disagrees with Python repr ('1e+21')."""
+    if v is None:
+        return HIVE_NULL
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        raise TypeError(
+            "float partition predicate values are ambiguous (Python repr != "
+            "Spark's string cast); pass the string the column casts to")
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return v
+    raise TypeError(f"unsupported partition predicate value: {v!r}")
+
+
+_RANGE_OPS = {">=", "<=", ">", "<"}
+
+
+def _normalize_pred(spec) -> tuple:
+    """Parse one `where` entry into a normalized predicate tuple."""
+    if isinstance(spec, (tuple, list)):
+        op = spec[0]
+        if op == "in":
+            return ("in", sorted({_pvalue(x) for x in spec[1]}))
+        if op in ("=", "=="):
+            return ("=", _pvalue(spec[1]))
+        if op in _RANGE_OPS:
+            return (op, _pvalue(spec[1]))
+        if op == "between":
+            return ("between", _pvalue(spec[1]), _pvalue(spec[2]))
+        raise ValueError(f"unknown partition predicate op: {op!r}")
+    return ("=", _pvalue(spec))
+
+
+def _match_value(pred: tuple, v: str | None) -> bool:
+    """Does one file's recorded partition value satisfy the predicate?
+    Unknown values (file written without partition_by) conservatively
+    match — pruning is an optimization, the residual filter is exact."""
+    if v is None:
+        return True
+    op = pred[0]
+    if op == "=":
+        return v == pred[1]
+    if op == "in":
+        return v in pred[1]
+    if v == HIVE_NULL:
+        return False  # null never satisfies a range
+    if op == ">=":
+        return v >= pred[1]
+    if op == "<=":
+        return v <= pred[1]
+    if op == ">":
+        return v > pred[1]
+    if op == "<":
+        return v < pred[1]
+    return pred[1] <= v <= pred[2]  # between
+
+
+def _match_summary(pred: tuple, summ: dict | None) -> bool:
+    """Can ANY file in a manifest satisfy the predicate, judged from the
+    manifest-list value summary alone? None (column not recorded for every
+    file) conservatively keeps the manifest."""
+    if summ is None:
+        return True
+    if "values" in summ:
+        return any(_match_value(pred, v) for v in summ["values"])
+    # bounds summary: {min, max} over non-null values, "null": True if any
+    has_null = summ.get("null", False)
+    lo, hi = summ.get("min"), summ.get("max")
+    op = pred[0]
+    if op == "=":
+        if pred[1] == HIVE_NULL:
+            return has_null
+        return lo is not None and lo <= pred[1] <= hi
+    if op == "in":
+        return any(_match_summary(("=", v), summ) for v in pred[1])
+    if lo is None:  # all-null manifest never overlaps a range
+        return False
+    if op == ">=":
+        return hi >= pred[1]
+    if op == "<=":
+        return lo <= pred[1]
+    if op == ">":
+        return hi > pred[1]
+    if op == "<":
+        return lo < pred[1]
+    return hi >= pred[1] and lo <= pred[2]  # between
+
+
+def _build_summary(rows: list[dict]) -> dict[str, dict]:
+    """Per-column partition-value summary for a manifest entry. A column is
+    summarized only when EVERY file in the manifest records it — otherwise
+    the column is omitted and predicates on it keep the manifest."""
+    if not rows:
+        return {}
+    cols = set(rows[0].get("partition") or {})
+    for r in rows[1:]:
+        cols &= set(r.get("partition") or {})
+    out: dict[str, dict] = {}
+    for c in sorted(cols):
+        vals = sorted({r["partition"][c] for r in rows})
+        if len(vals) <= SUMMARY_MAX_VALUES:
+            out[c] = {"values": vals}
+        else:
+            non_null = [v for v in vals if v != HIVE_NULL]
+            out[c] = {"null": len(non_null) < len(vals)}
+            if non_null:
+                out[c]["min"] = non_null[0]
+                out[c]["max"] = non_null[-1]
+    return out
+
 
 class Catalog:
     def __init__(self, root: str):
@@ -34,6 +199,9 @@ class Catalog:
         # split-brain paths (vacuum additionally realpaths per-file)
         self.root = os.path.realpath(root)
         os.makedirs(self.root, exist_ok=True)
+        # stats of the most recent scan_files call, for plan assertions:
+        # {"manifests_total", "manifests_opened", "files_selected"}
+        self.last_scan_stats: dict[str, int] = {}
 
     # -- paths --------------------------------------------------------------
     def _tdir(self, table: str) -> str:
@@ -45,7 +213,44 @@ class Catalog:
     def _current_path(self, table: str) -> str:
         return os.path.join(self._meta(table), "_current")
 
-    # -- snapshot plumbing ----------------------------------------------------
+    # -- manifest plumbing --------------------------------------------------
+    def _write_manifest(self, table: str, rows: list[dict],
+                        txns: list[str | None]) -> dict:
+        """Write one manifest file and return its manifest-LIST entry.
+        `rows` = [{"path": ..., "partition": {col: str} | None,
+                   "txn": str | None}]."""
+        meta = self._meta(table)
+        os.makedirs(meta, exist_ok=True)
+        path = os.path.join(meta, f"m-{uuid.uuid4().hex}.json")
+        with open(path, "w") as f:
+            json.dump({"files": rows}, f)
+        return {
+            "manifest": path,
+            "n_files": len(rows),
+            "txns": sorted({t for t in txns if t}),
+            "summary": _build_summary(rows),
+        }
+
+    def _read_manifest(self, entry: dict) -> list[dict]:
+        with open(entry["manifest"]) as f:
+            return json.load(f)["files"]
+
+    def _maybe_merge(self, table: str, entries: list[dict]) -> list[dict]:
+        """Fold accumulated small manifests into one (Iceberg's
+        commit.manifest.min-count-to-merge) so the manifest list — and with
+        it the snapshot json — stays bounded across unbounded appends."""
+        small = [e for e in entries if e["n_files"] < SMALL_MANIFEST]
+        if len(small) < MERGE_MIN:
+            return entries
+        rows: list[dict] = []
+        for e in small:
+            rows.extend(self._read_manifest(e))
+        merged = self._write_manifest(
+            table, rows, [t for e in small for t in e.get("txns", [])])
+        small_ids = {id(e) for e in small}
+        return [e for e in entries if id(e) not in small_ids] + [merged]
+
+    # -- snapshot plumbing --------------------------------------------------
     def _read_current(self, table: str) -> dict | None:
         try:
             with open(self._current_path(table)) as f:
@@ -55,10 +260,9 @@ class Catalog:
         with open(os.path.join(self._meta(table), f"v{version}.json")) as f:
             return json.load(f)
 
-    def _commit(self, table: str, files: list[str], operation: str,
-                parent: int | None, added: list[str] | None = None,
-                txn: str | None = None,
-                partitions: dict[str, dict[str, str]] | None = None) -> int:
+    def _commit(self, table: str, manifests: list[dict], operation: str,
+                parent: int | None, txn: str | None = None,
+                schema: str | None = None) -> int:
         meta = self._meta(table)
         os.makedirs(meta, exist_ok=True)
         version = (parent or 0) + 1
@@ -66,10 +270,9 @@ class Catalog:
             "version": version,
             "parent": parent,
             "operation": operation,
-            "files": sorted(files),
-            "added": sorted(added) if added is not None else None,
+            "manifests": manifests,
             "txn": txn,
-            "partitions": partitions or {},
+            "schema": schema,
             "committed_at": time.time(),
         }
         with open(os.path.join(meta, f"v{version}.json"), "w") as f:
@@ -80,11 +283,37 @@ class Catalog:
         os.replace(tmp, self._current_path(table))  # the atomic flip
         return version
 
-    # -- public API -----------------------------------------------------------
+    def _snap(self, table: str, version: int | None) -> dict:
+        if version is None:
+            snap = self._read_current(table)
+        else:
+            with open(os.path.join(self._meta(table), f"v{version}.json")) as f:
+                snap = json.load(f)
+        if snap is None:
+            raise FileNotFoundError(f"table not found: {table}")
+        return snap
+
+    def _snap_files(self, snap: dict, missing_ok: bool = False) -> list[str]:
+        """Resolve a snapshot's manifest list to its file list. With
+        `missing_ok` (history/debug paths) entries whose manifest file was
+        GC'd by a later vacuum resolve to nothing — expired snapshots keep
+        their json but not necessarily their manifests; a missing manifest
+        on the LIVE path stays a hard error (real corruption)."""
+        out: list[str] = []
+        for e in snap["manifests"]:
+            if missing_ok and not os.path.exists(e["manifest"]):
+                continue
+            out.extend(r["path"] for r in self._read_manifest(e))
+        return sorted(out)
+
+    # -- public API ---------------------------------------------------------
     def exists(self, table: str) -> bool:
         return self._read_current(table) is not None
 
     def snapshots(self, table: str) -> list[dict]:
+        """All snapshots, oldest first, with the resolved file list attached
+        under "files" (a debug/test convenience — the resolution opens every
+        manifest, which is exactly what the scan path avoids)."""
         meta = self._meta(table)
         if not os.path.isdir(meta):
             return []
@@ -92,18 +321,20 @@ class Catalog:
         for fn in sorted(os.listdir(meta)):
             if fn.startswith("v") and fn.endswith(".json"):
                 with open(os.path.join(meta, fn)) as f:
-                    out.append(json.load(f))
+                    snap = json.load(f)
+                snap["files"] = self._snap_files(snap, missing_ok=True)
+                out.append(snap)
         return sorted(out, key=lambda s: s["version"])
 
     def _stage(self, table: str, df: DataFrame,
-               partition_by: list[str] | None = None
-               ) -> tuple[list[str], dict[str, dict[str, str]]]:
-        """Write a staging commit; returns (files, partitions) where
-        `partitions` maps file path -> {col: value} parsed from the
-        hive-style directory layout. Partition columns are DUPLICATED into
-        shadow `_p_<col>` dir keys so the data files keep the original
-        column (snapshot reads use explicit file lists, which cannot
-        recover dir-encoded values the way a directory scan would)."""
+               partition_by: list[str] | None = None,
+               txn: str | None = None) -> list[dict]:
+        """Write a staging commit; returns manifest rows
+        [{"path", "partition", "txn"}] parsed from the hive-style directory
+        layout. Partition columns are DUPLICATED into shadow `_p_<col>` dir
+        keys so the data files keep the original column (snapshot reads use
+        explicit file lists, which cannot recover dir-encoded values the way
+        a directory scan would)."""
         stage_dir = os.path.join(self._tdir(table), "data", uuid.uuid4().hex)
         if partition_by:
             from pyspark.sql import functions as F  # noqa: PLC0415
@@ -115,8 +346,7 @@ class Catalog:
             ).mode("overwrite").parquet(stage_dir)
         else:
             df.write.mode("overwrite").parquet(stage_dir)
-        files: list[str] = []
-        partitions: dict[str, dict[str, str]] = {}
+        rows: list[dict] = []
         for root, _dirs, fns in os.walk(stage_dir):
             pvals = {}
             rel = os.path.relpath(root, stage_dir)
@@ -126,39 +356,44 @@ class Catalog:
                     # Spark hive-escapes dir values (':' -> '%3A' etc.);
                     # record the UNESCAPED value or predicates with any
                     # escaped character would silently prune matching files.
-                    # Null/empty values keep Spark's
-                    # __HIVE_DEFAULT_PARTITION__ sentinel.
+                    # Null/empty values keep Spark's HIVE_NULL sentinel.
                     pvals[k[3:]] = urllib.parse.unquote(v)
             for fn in fns:
                 if fn.endswith(".parquet"):
-                    p = os.path.join(root, fn)
-                    files.append(p)
-                    if pvals:
-                        partitions[p] = pvals
-        return files, partitions
+                    rows.append({
+                        "path": os.path.join(root, fn),
+                        "partition": dict(pvals) if pvals else None,
+                        "txn": txn,
+                    })
+        return sorted(rows, key=lambda r: r["path"])
 
     def overwrite(self, table: str, df: DataFrame,
                   partition_by: list[str] | None = None) -> int:
-        files, parts = self._stage(table, df, partition_by)
+        rows = self._stage(table, df, partition_by)
         cur = self._read_current(table)
-        return self._commit(table, files, "overwrite",
+        entry = self._write_manifest(table, rows, [None])
+        return self._commit(table, [entry], "overwrite",
                             cur["version"] if cur else None,
-                            partitions=parts)
+                            schema=df.schema.json())
 
     def append(self, table: str, df: DataFrame, txn: str | None = None,
                partition_by: list[str] | None = None) -> int:
         """Append with an optional transaction tag. A multi-table writer tags
         every table's append with one txn id and commits a marker table last;
         `remove_orphan_appends` can then roll back appends whose txn never
-        reached the marker — pure metadata surgery, no data rewrite."""
-        files, parts = self._stage(table, df, partition_by)
+        reached the marker — pure metadata surgery, no data rewrite.
+
+        Metadata cost is O(new files): one manifest for the added files plus
+        a bounded manifest list (small manifests merge on commit)."""
+        rows = self._stage(table, df, partition_by, txn=txn)
         cur = self._read_current(table)
-        base = cur["files"] if cur else []
-        base_parts = dict(cur.get("partitions") or {}) if cur else {}
-        base_parts.update(parts)
-        return self._commit(table, base + files, "append",
-                            cur["version"] if cur else None,
-                            added=files, txn=txn, partitions=base_parts)
+        entry = self._write_manifest(table, rows, [txn])
+        entries = (list(cur["manifests"]) if cur else []) + [entry]
+        entries = self._maybe_merge(table, entries)
+        return self._commit(table, entries, "append",
+                            cur["version"] if cur else None, txn=txn,
+                            schema=(cur or {}).get("schema")
+                            or df.schema.json())
 
     def txns(self, table: str) -> set[str]:
         """Transaction tags of all snapshots ever committed to `table`."""
@@ -168,31 +403,47 @@ class Catalog:
         """Drop the files added by tagged appends whose txn is not in
         `live_txns` (i.e. the crash happened before the txn's marker commit).
         Untagged snapshots are always kept. Returns the number of files
-        removed; commits one 'rollback' snapshot iff anything was removed."""
+        removed; commits one 'rollback' snapshot iff anything was removed.
+
+        Manifest-level surgery: an all-dead manifest is dropped from the
+        list; a manifest the merge step mixed (dead + live txns) is
+        rewritten without the dead files — O(affected manifests), never
+        O(table files)."""
         cur = self._read_current(table)
         if cur is None:
             return 0
-        dead: set[str] = set()
-        for s in self.snapshots(table):
-            if (s["operation"] == "append" and s.get("txn")
-                    and s["txn"] not in live_txns and s.get("added")):
-                dead.update(s["added"])
-        keep = [f for f in cur["files"] if f not in dead]
-        n_removed = len(cur["files"]) - len(keep)
-        if n_removed:
-            keep_parts = {f: p for f, p in (cur.get("partitions") or {}).items()
-                          if f not in dead}
-            self._commit(table, keep, "rollback", cur["version"],
-                         partitions=keep_parts)
+        keep_entries: list[dict] = []
+        n_removed = 0
+        changed = False
+        for e in cur["manifests"]:
+            txns = set(e.get("txns") or [])
+            dead = {t for t in txns if t not in live_txns}
+            if not dead:
+                keep_entries.append(e)
+                continue
+            if dead == txns and txns:
+                n_removed += e["n_files"]  # whole manifest is dead
+                changed = True
+                continue
+            rows = self._read_manifest(e)
+            live_rows = [r for r in rows if r.get("txn") not in dead]
+            n_removed += len(rows) - len(live_rows)
+            changed = True
+            if live_rows:
+                keep_entries.append(self._write_manifest(
+                    table, live_rows, [r.get("txn") for r in live_rows]))
+        if changed and n_removed:
+            self._commit(table, keep_entries, "rollback", cur["version"],
+                         schema=cur.get("schema"))
         return n_removed
 
     def vacuum(self, table: str, keep_versions: int = 1) -> int:
         """Delete data files not referenced by the newest `keep_versions`
         snapshots (Iceberg's expire-snapshots + orphan-file GC analogue —
         reclaims the files left behind by `remove_orphan_appends` rollbacks
-        and by overwrites). Metadata for expired snapshots is kept (cheap,
-        and preserves the audit trail); only their exclusive data files go.
-        Returns the number of files deleted."""
+        and by overwrites), plus manifest files no kept snapshot references.
+        Snapshot jsons for expired versions stay (cheap audit trail); only
+        their exclusive data/manifest files go. Returns data files deleted."""
         snaps = self.snapshots(table)
         if not snaps:
             return 0
@@ -203,8 +454,15 @@ class Catalog:
         # symlinked) than the one that wrote the manifests, and a naive
         # string comparison would then see every live file as dead.
         keep: set[str] = set()
+        keep_manifests: set[str] = set()
         for s in ([cur] if cur else []) + snaps[-keep_versions:]:
-            keep.update(os.path.realpath(f) for f in s["files"])
+            # missing_ok: a later vacuum call with a LARGER keep_versions can
+            # reach snapshots whose manifests a previous vacuum already GC'd
+            keep.update(os.path.realpath(f)
+                        for f in self._snap_files(s, missing_ok=True))
+            keep_manifests.update(
+                os.path.realpath(e["manifest"]) for e in s["manifests"]
+                if os.path.exists(e["manifest"]))
         data_root = os.path.join(self._tdir(table), "data")
         if not os.path.isdir(data_root):
             return 0
@@ -245,55 +503,95 @@ class Catalog:
                 for root, _dirs, _fns in os.walk(sdir, topdown=False):
                     if root != sdir and not os.listdir(root):
                         os.rmdir(root)  # live check: walk caches listings
+        # expired manifests (metadata GC — the manifest list rewrites small
+        # manifests on merge, and those originals are dead weight)
+        meta = self._meta(table)
+        for fn in os.listdir(meta):
+            if fn.startswith("m-") and fn.endswith(".json"):
+                p = os.path.join(meta, fn)
+                if os.path.realpath(p) not in keep_manifests:
+                    os.remove(p)
         return n
-
-    def _snap(self, table: str, version: int | None) -> dict:
-        if version is None:
-            snap = self._read_current(table)
-        else:
-            with open(os.path.join(self._meta(table), f"v{version}.json")) as f:
-                snap = json.load(f)
-        if snap is None:
-            raise FileNotFoundError(f"table not found: {table}")
-        return snap
 
     def scan_files(self, table: str, *, where: dict | None = None,
                    version: int | None = None) -> list[str]:
         """Snapshot file list after MANIFEST-LEVEL partition pruning — the
-        Iceberg move: a reader with a partition predicate never opens
-        non-matching files. Files without recorded partition values for a
-        predicate column are conservatively kept (pruning is an
-        optimization; `read` applies the residual row filter). Predicate
-        values are compared as strings (manifest values always are — the
-        keyword-only signature also keeps `version` and `where` from being
-        swapped positionally)."""
+        Iceberg move, in two stages: (1) the manifest LIST's per-manifest
+        value summaries rule out whole manifests without opening them;
+        (2) surviving manifests' per-file partition values rule out files.
+        Files without recorded partition values for a predicate column are
+        conservatively kept (pruning is an optimization; `read` applies the
+        residual row filter). See the module docstring for the predicate
+        forms. `self.last_scan_stats` records how much the scan pruned."""
         snap = self._snap(table, version)
-        files = snap["files"]
-        if not where:
-            return files
-        parts = snap.get("partitions") or {}
-        want = {k: str(v) for k, v in where.items()}
-        return [
-            f for f in files
-            if all(parts.get(f, {}).get(k, v) == v for k, v in want.items())
-        ]
+        preds = {k: _normalize_pred(v) for k, v in (where or {}).items()}
+        stats = {"manifests_total": len(snap["manifests"]),
+                 "manifests_opened": 0, "files_selected": 0}
+        files: list[str] = []
+        for e in snap["manifests"]:
+            summ = e.get("summary") or {}
+            if preds and not all(
+                    _match_summary(p, summ.get(c))
+                    for c, p in preds.items()):
+                continue  # manifest pruned: never opened
+            stats["manifests_opened"] += 1
+            for r in self._read_manifest(e):
+                part = r.get("partition") or {}
+                if all(_match_value(p, part.get(c))
+                       for c, p in preds.items()):
+                    files.append(r["path"])
+        stats["files_selected"] = len(files)
+        self.last_scan_stats = stats
+        return sorted(files)
 
     def read(self, spark: SparkSession, table: str,
              version: int | None = None,
-             where: dict[str, str] | None = None) -> DataFrame:
-        """Read a snapshot; `where={col: value}` prunes at the manifest
-        level (only matching partitions' files are opened) and applies the
-        residual row filter for exactness."""
+             where: dict | None = None) -> DataFrame:
+        """Read a snapshot; `where=` prunes at the manifest level (only
+        matching partitions' files are opened) and applies the residual row
+        filter for exactness."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
         files = self.scan_files(table, where=where, version=version)
-        all_files = self._snap(table, version)["files"]
-        if not all_files:
-            raise ValueError(f"empty table: {table}")
         if not files:
+            snap = self._snap(table, version)
+            all_files = self._snap_files(snap)
+            if not all_files:
+                raise ValueError(f"empty table: {table}")
             # a predicate matching zero partitions is a normal query
-            # outcome: empty result with the table's schema, same as when
-            # the residual filter drops every row
-            return spark.read.parquet(*all_files).limit(0)
+            # outcome: empty result with the table's schema — derived from
+            # ONE file's footer, not a full-snapshot listing (the zero-match
+            # case is exactly when pruning won big; defeating it with an
+            # every-footer schema merge would be absurd)
+            return spark.read.parquet(all_files[0]).limit(0)
         df = spark.read.parquet(*files)
-        for k, v in (where or {}).items():
-            df = df.filter(df[k].cast("string") == str(v))
+        for k, spec in (where or {}).items():
+            df = df.filter(self._residual(F, df, k, _normalize_pred(spec)))
         return df
+
+    @staticmethod
+    def _residual(F, df: DataFrame, col: str, pred: tuple):
+        """Row-level filter with the same semantics the prune used: values
+        compare as string casts; equality with None matches NULL and ''
+        (both land in the same hive dir — documented lossy encoding)."""
+        c = df[col].cast("string")
+        op = pred[0]
+        if op == "=":
+            if pred[1] == HIVE_NULL:
+                return c.isNull() | (c == "")
+            return c == pred[1]
+        if op == "in":
+            non_null = [v for v in pred[1] if v != HIVE_NULL]
+            cond = c.isin(non_null) if non_null else F.lit(False)
+            if HIVE_NULL in pred[1]:
+                cond = cond | c.isNull() | (c == "")
+            return cond
+        if op == ">=":
+            return c >= pred[1]
+        if op == "<=":
+            return c <= pred[1]
+        if op == ">":
+            return c > pred[1]
+        if op == "<":
+            return c < pred[1]
+        return (c >= pred[1]) & (c <= pred[2])  # between
