@@ -164,19 +164,46 @@ def cmd_simhash(spark, args) -> dict:
     return _emit(Catalog(args.output), "simhash_pairs", pairs, args.run_id)
 
 
+ANN_CENTROIDS_TABLE = "ann_centroids"
+ANN_INDEX_TABLE = "ann_index"
+
+
 def cmd_ann(spark, args) -> dict:
     emb = spark.read.parquet(f"{args.input}/embeddings.parquet")
     if args.limit is not None:
         emb = emb.limit(args.limit)
     emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    cents = None
-    if args.kmeans:
+    cat = Catalog(args.output)
+
+    if args.build_index:
+        # build-once: centroids + full-corpus bucket assignment land in the
+        # catalog (exactly-once per run id); later probes reuse them with
+        # --index and never rescan the corpus for assignment
+        cents = (similarity.kmeans_centroids(
+                     emb, num_centroids=args.centroids, iters=args.iters)
+                 if args.kmeans
+                 else similarity.seed_centroids(emb, args.centroids))
+        assign = similarity.ivf_assign(
+            emb, args.centroids, centroids=cents)
+        r1 = _emit(cat, ANN_CENTROIDS_TABLE, cents, args.run_id,
+                   release=False)
+        r2 = _emit(cat, ANN_INDEX_TABLE, assign, args.run_id)
+        return {"built": True, "centroids": r1, "index": r2}
+
+    if args.query_vec is None:
+        raise SystemExit("ann: --query-vec is required unless --build-index")
+    cents = assign = None
+    if args.index:
+        idx_cat = cat if args.index is True else Catalog(args.index)
+        cents = idx_cat.read(spark, ANN_CENTROIDS_TABLE)
+        assign = idx_cat.read(spark, ANN_INDEX_TABLE)
+    elif args.kmeans:
         cents = similarity.kmeans_centroids(
             emb, num_centroids=args.centroids, iters=args.iters)
     topk = similarity.ivf_ann_query(
         emb, args.query_vec, k=args.k, num_centroids=args.centroids,
-        centroids=cents, num_probes=args.probes)
-    return _emit(Catalog(args.output), "ann_results", topk, args.run_id)
+        centroids=cents, num_probes=args.probes, assign=assign)
+    return _emit(cat, "ann_results", topk, args.run_id)
 
 
 def main(argv=None) -> None:
@@ -227,13 +254,22 @@ def main(argv=None) -> None:
 
     p = sub.add_parser("ann", help="IVF ANN top-k over embeddings")
     _add_common(p)
-    p.add_argument("--query-vec", type=int, required=True)
+    p.add_argument("--query-vec", type=int, default=None)
     p.add_argument("--k", type=int, default=5)
     p.add_argument("--probes", type=int, default=1)
     p.add_argument("--centroids", type=int, default=8)
     p.add_argument("--kmeans", action="store_true",
                    help="train IVF centroids with Lloyd k-means")
     p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--build-index", action="store_true",
+                   help="build + persist IVF centroids and the full-corpus "
+                        "bucket assignment to the output catalog, then exit")
+    p.add_argument("--index", nargs="?", const=True, default=None,
+                   metavar="CATALOG_DIR",
+                   help="probe using a persisted index (ann_centroids + "
+                        "ann_index tables) instead of recomputing the "
+                        "assignment; reads the output catalog unless a "
+                        "directory is given")
 
     args = ap.parse_args(argv)
     spark = get_spark(f"webtext-{args.cmd}-cli", cores=args.cores)

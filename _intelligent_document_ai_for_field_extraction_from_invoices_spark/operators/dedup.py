@@ -18,6 +18,8 @@ unordered Window, which would buffer every row of the hottest key in one task
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,22 +31,36 @@ LSH_BANDS = 4  # 4 bands x 4 rows
 # Scoped-cache registry: hot-path operators cache DataFrames that feed
 # multiple plan branches (self-join sides, count+anti-join). The registry
 # lets a long-lived session release them all once results are materialized
-# instead of pinning block-manager memory until LRU eviction.
-_LIVE_CACHES: list[DataFrame] = []
+# instead of pinning block-manager memory until LRU eviction. Keyed by the
+# owning SparkSession and lock-guarded (ADVICE round-3: a process-global
+# list let one pipeline's release_caches() unpersist another concurrently
+# running session's live caches — correctness survives via recompute, but
+# the perf contract silently breaks).
+_CACHE_LOCK = threading.Lock()
+_LIVE_CACHES: dict = {}  # SparkSession -> list[DataFrame]
 
 
 def register_cache(df: DataFrame) -> DataFrame:
     """Track a cached DataFrame for later `release_caches()`."""
-    _LIVE_CACHES.append(df)
+    with _CACHE_LOCK:
+        _LIVE_CACHES.setdefault(df.sparkSession, []).append(df)
     return df
 
 
-def release_caches() -> int:
-    """Unpersist every registered cache (call after materializing results);
-    returns how many were released. Shared by dedup and similarity."""
+def release_caches(spark=None) -> int:
+    """Unpersist registered caches and return how many were released.
+    Shared by dedup and similarity. With `spark` given, only that
+    session's caches are touched — concurrent pipelines on other sessions
+    keep theirs; with no argument every session's are released (the
+    single-session CLI/bench shape)."""
+    with _CACHE_LOCK:
+        if spark is None:
+            todo = [df for dfs in _LIVE_CACHES.values() for df in dfs]
+            _LIVE_CACHES.clear()
+        else:
+            todo = _LIVE_CACHES.pop(spark, [])
     n = 0
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
+    for df in todo:
         try:
             df.unpersist()
             n += 1
@@ -82,7 +98,7 @@ def exact_dedup_groups(df: DataFrame, key: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Exact-duplicate groups: digest -> canonical (min key) + copy count."""
     return (
-        df.select(F.col(key), F.md5(F.col(text_col)).alias("digest"))
+        df.select(F.col(_bq(key)), F.md5(F.col(_bq(text_col))).alias("digest"))
         .groupBy("digest")
         .agg(F.min(key).alias("canonical_id"), F.count("*").alias("n_copies"))
     )
@@ -90,7 +106,7 @@ def exact_dedup_groups(df: DataFrame, key: str = "doc_id",
 
 def _shingles(text_col: str, n: int):
     """n-word shingles as md5 digests — native exprs (transform/sequence)."""
-    words = F.split(F.trim(F.col(text_col)), WS_RUN)
+    words = F.split(F.trim(F.col(_bq(text_col))), WS_RUN)
     idx = F.sequence(F.lit(0), F.size(words) - n)
     return F.transform(
         idx, lambda i: F.md5(F.array_join(F.slice(words, i + 1, n), " "))
@@ -109,8 +125,8 @@ def shingle_pairs(df: DataFrame, key: str = "doc_id", text_col: str = "text",
     no reliance on caching the stream. The cap (`_cap_hot_keys`) is what
     makes the collect_list safe: bucket size is bounded BEFORE buffering."""
     ex = (
-        df.filter(F.size(F.split(F.trim(F.col(text_col)), WS_RUN)) >= n)
-        .select(F.col(key).alias("k"),
+        df.filter(F.size(F.split(F.trim(F.col(_bq(text_col))), WS_RUN)) >= n)
+        .select(F.col(_bq(key)).alias("k"),
                 F.explode(F.array_distinct(_shingles(text_col, n))).alias("sh"))
     )
     capped = _cap_hot_keys(ex, ["sh"], max_bucket)
@@ -139,8 +155,8 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
     """Token-set Jaccard for candidate pairs (ref string-similarity fallback,
     evaluate.py:221-231: intersection/union of token sets)."""
     toks = register_cache(df.select(
-        F.col(key).alias("k"),
-        F.array_distinct(F.split(F.trim(F.col(text_col)), WS_RUN)).alias("toks"),
+        F.col(_bq(key)).alias("k"),
+        F.array_distinct(F.split(F.trim(F.col(_bq(text_col))), WS_RUN)).alias("toks"),
     ).cache())  # joined twice (doc_a and doc_b sides); released via release_caches()
     j = (
         pairs.join(toks.withColumnRenamed("k", "doc_a")
@@ -154,6 +170,14 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
         "doc_a", "doc_b", "n_shared",
         F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
     )
+
+
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier interpolated into a SQL-string
+    expression tree (ADVICE round-3: the JVM-parsed selectExpr formulation
+    would otherwise misparse column names with spaces/dots/hyphens that the
+    old F.col() form handled)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _perm_hash_sql(p: int, hash_fn: str) -> str:
@@ -191,9 +215,9 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id",
     the shuffle carries num_perms values per DOC — a posexplode formulation
     would shuffle num_perms hashed rows per SHINGLE, ~16x the data."""
     toks = df.filter(
-        F.size(F.split(F.trim(F.col(text_col)), WS_RUN)) >= shingle_n
+        F.size(F.split(F.trim(F.col(_bq(text_col))), WS_RUN)) >= shingle_n
     ).select(
-        F.col(key).alias("k"),
+        F.col(_bq(key)).alias("k"),
         F.explode(
             F.array_distinct(_shingles(text_col, shingle_n))
         ).alias("tok"),
@@ -216,7 +240,7 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id",
         F.expr(f"min({slot[p]}) AS mh{p}") for p in range(num_perms)
     ])
     return mins.selectExpr(
-        f"k AS {key}",
+        f"k AS {_bq(key)}",
         f"array({', '.join(f'mh{p}' for p in range(num_perms))}) AS signature",
     )
 
@@ -235,7 +259,7 @@ def minhash_lsh_pairs(df: DataFrame, key: str = "doc_id",
     rows = num_perms // bands
     sigs = minhash_signatures(df, key, text_col, num_perms, hash_fn=hash_fn)
     banded = sigs.selectExpr(
-        f"{key} AS k",
+        f"{_bq(key)} AS k",
         "signature",
         f"posexplode(transform(sequence(0, {bands - 1}), "
         f"b -> md5(concat_ws(',', transform(slice(signature, b * {rows} + 1, "
@@ -284,9 +308,9 @@ def simhash_signatures(df: DataFrame, key: str = "doc_id",
     objects from Python costs 2-3 s of py4j round-trips per query — measured
     to dominate the whole sf0.1 query (the round-2 bench regression)."""
     toks = df.selectExpr(
-        f"{key} AS k",
+        f"{_bq(key)} AS k",
         "explode_outer(filter(array_distinct("
-        f"split(trim({text_col}), '{SPARK_SQL_WS_RUN}')), x -> x != '')) AS tok",
+        f"split(trim({_bq(text_col)}), '{SPARK_SQL_WS_RUN}')), x -> x != '')) AS tok",
     )
     # two conv() calls per token, not 16: hex chars 1-15 -> bits 63..4
     # ("hi", < 2^60 so the signed long conv is exact), char 16 -> bits 3..0
@@ -312,7 +336,7 @@ def simhash_signatures(df: DataFrame, key: str = "doc_id",
     ) + (" + (CASE WHEN 2*s63 > cnt"
          " THEN -9223372036854775807L - 1L ELSE 0L END)")
     return agg.selectExpr(
-        f"k AS {key}",
+        f"k AS {_bq(key)}",
         f"coalesce({terms}, 0L) AS simhash",
     )
 
@@ -326,7 +350,7 @@ def simhash_near_dups(df: DataFrame, key: str = "doc_id",
     Buckets larger than `max_bucket` are dropped before the self-join
     (`_cap_hot_keys` — e.g. the simhash-0 bucket of empty docs)."""
     sh = simhash_signatures(df, key, text_col).select(
-        F.col(key).alias("k"), F.col("simhash").alias("sh"))
+        F.col(_bq(key)).alias("k"), F.col("simhash").alias("sh"))
     banded = sh.select(
         "k", "sh",
         F.posexplode(F.array(*[
@@ -465,5 +489,5 @@ def keep_canonical(df: DataFrame, components: DataFrame,
     component's canonical (smallest-id) member; documents in no component
     pass through untouched. `components` is connected_components output."""
     losers = components.filter(
-        F.col(key) != F.col("component_id")).select(key)
+        F.col(_bq(key)) != F.col("component_id")).select(key)
     return df.join(losers, key, "left_anti")

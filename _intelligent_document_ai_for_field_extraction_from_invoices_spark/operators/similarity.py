@@ -19,7 +19,17 @@ from .dedup import register_cache, release_caches  # shared scoped-cache registr
 __all__ = [
     "cosine_knn", "label_centroid_norms", "kmeans_centroids", "ivf_assign",
     "cosine_near_dup_pairs", "ivf_ann_query", "cosine_col", "release_caches",
+    "seed_centroids",
 ]
+
+
+def seed_centroids(emb: DataFrame, num_centroids: int, key: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """The deterministic seed-centroid choice (vectors with key <
+    num_centroids) — reproducible in the ANSI oracles; the shared default
+    for ivf_assign / ivf_ann_query and the CLI's --build-index."""
+    return emb.filter(F.col(key) < num_centroids).select(
+        F.col(key).alias("centroid_id"), F.col(vec_col).alias("cvec"))
 
 
 def _dot(a, b):
@@ -169,11 +179,8 @@ def ivf_assign(emb: DataFrame, num_centroids: int = 8, key: str = "vec_id",
     broadcast; argmax via a `max_by` aggregate with explicit
     (sim desc, centroid_id asc) tie-break — partial-combines map-side, no
     window sort (plan pinned Window/Sort-free in tests/test_plans.py)."""
-    cents = centroids if centroids is not None else emb.filter(
-        F.col(key) < num_centroids
-    ).select(
-        F.col(key).alias("centroid_id"), F.col(vec_col).alias("cvec")
-    )
+    cents = centroids if centroids is not None else seed_centroids(
+        emb, num_centroids, key, vec_col)
     scored = emb.select(key, vec_col).join(F.broadcast(cents)).select(
         key,
         "centroid_id",
@@ -185,7 +192,8 @@ def ivf_assign(emb: DataFrame, num_centroids: int = 8, key: str = "vec_id",
 
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                           num_centroids: int | None = None, key: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          n_hint: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, IVF-bucketed: vectors are
     assigned to their nearest centroid once, and only same-bucket pairs are
     scored — the self-join touches ~1/C^2 of the full cross product per
@@ -211,9 +219,15 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     grows, so total cost scales LINEARLY in n instead of quadratically —
     the standard IVF sizing discipline. At the oracle gate scales
     (n <= 2000) this resolves to exactly the 8 seed centroids the static
-    DuckDB oracle replicates."""
+    DuckDB oracle replicates.
+
+    `n_hint` sizes C without the counting pass — at 10^12 vectors the
+    `emb.count()` fallback is a full scan before any work starts, and
+    callers (catalog readers, the CLI) usually know n already. The hint
+    only picks C; correctness never depends on it being exact."""
     if num_centroids is None:
-        num_centroids = max(8, emb.count() // 250)
+        n = n_hint if n_hint is not None else emb.count()
+        num_centroids = max(8, n // 250)
     assign = ivf_assign(emb, num_centroids, key, vec_col)
     unit = emb.select(
         F.col(key), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
@@ -243,16 +257,24 @@ def ivf_ann_query(emb: DataFrame, query_vec_id: int, k: int = 5,
                   num_centroids: int = 8, key: str = "vec_id",
                   vec_col: str = "embedding",
                   centroids: DataFrame | None = None,
-                  num_probes: int = 1) -> DataFrame:
+                  num_probes: int = 1,
+                  assign: DataFrame | None = None) -> DataFrame:
     """ANN top-k probing the query's `num_probes` nearest IVF buckets
     (num_probes/C of the data — the standard recall/cost dial: 1 = fastest,
     C = exact brute force). Pass `centroids` (e.g. kmeans_centroids) for
     trained buckets. Probed-centroid choice and the final top-k both carry
-    explicit tie-breaks so results are deterministic."""
-    cents = centroids if centroids is not None else emb.filter(
-        F.col(key) < num_centroids
-    ).select(F.col(key).alias("centroid_id"), F.col(vec_col).alias("cvec"))
-    assign = ivf_assign(emb, num_centroids, key, vec_col, centroids=cents)
+    explicit tie-breaks so results are deterministic.
+
+    `assign` is the persisted-index path: pass a precomputed
+    (key, centroid_id) assignment (from `ivf_assign`, e.g. read back from a
+    catalog table — CLI `ann --build-index` / `--index`) and the full-corpus
+    bucket-assignment pass is skipped entirely. That is the real ANN shape:
+    the index is built once and probed many times; recomputing the
+    assignment per query would scan all of a 10^12-row corpus each probe."""
+    cents = centroids if centroids is not None else seed_centroids(
+        emb, num_centroids, key, vec_col)
+    if assign is None:
+        assign = ivf_assign(emb, num_centroids, key, vec_col, centroids=cents)
     q = emb.filter(F.col(key) == query_vec_id).select(F.col(vec_col).alias("qvec"))
     probed = (
         cents.crossJoin(F.broadcast(q))

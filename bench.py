@@ -8,7 +8,13 @@ The flagship metric is the full extraction pipeline (pages synthesised from
 the documents table -> salted shuffle -> Arrow-batched golden extraction ->
 results), reported both as wall seconds and extracted-text bytes/sec
 (the BASELINE.json north metric). Run bench/scaling.py for the N-vs-4N
-throughput scaling evidence."""
+throughput scaling evidence.
+
+This host's CPUs are shared and noisy (2x swings between identical runs —
+BENCH.md methodology), so the official artifact is not a single draw: the
+whole query set runs $SPARK_GRAFT_BENCH_K (default 3) INTERLEAVED passes
+and the JSON line carries the per-query MEDIAN in "queries" (the key the
+driver compares round-over-round) plus every raw sample in "samples"."""
 
 from __future__ import annotations
 
@@ -47,6 +53,7 @@ BENCH_QUERIES = [
     "q_knn_cosine_vec0",
     "q_ivf_ann_vec1",
     "q_embedding_near_dups",
+    "q_neardup_components",
     "q_top_terms",
     "q_distinct_users",
 ]
@@ -58,18 +65,25 @@ def time_action(fn) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else round((s[n // 2 - 1] + s[n // 2]) / 2, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    k = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_K", "3")))
     spark = get_spark("bench", cores=cpus)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
-    # flagship: full extraction pipeline, counting extracted bytes
+    # flagship corpus: materialized once, outside every timed window
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = datagen.pages_from_documents(docs).cache()
-    n_pages = pages.count()  # materialize the corpus outside the timed window
+    n_pages = pages.count()
 
     stats = {}
 
@@ -81,31 +95,40 @@ def main() -> None:
         ).first()
         stats["rows"], stats["bytes_out"] = row[0], row[1]
 
-    timings["extract_flagship"] = time_action(flagship)
-    pages.unpersist()
-
     from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (  # noqa: PLC0415
         dedup,
     )
 
-    for name in BENCH_QUERIES:
-        q = contract.QUERIES[name]
-        timings[name] = time_action(
-            lambda q=q: q(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        )
-        dedup.release_caches()  # no cross-query cache residue in the timings
+    # k interleaved passes over the WHOLE set (not k back-to-back repeats of
+    # each query): host-noise episodes then hit every query equally instead
+    # of burying one query's samples inside one bad minute
+    for _ in range(k):
+        samples.setdefault("extract_flagship", []).append(
+            time_action(flagship))
+        for name in BENCH_QUERIES:
+            q = contract.QUERIES[name]
+            samples.setdefault(name, []).append(time_action(
+                lambda q=q: q(spark, sf_dir)
+                .write.format("noop").mode("overwrite").save()
+            ))
+            dedup.release_caches()  # no cross-query cache residue
+    pages.unpersist()
 
+    timings = {name: _median(s) for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
+        "k": k,
         "sf": sf,
         "pages": n_pages,
         "extracted_bytes": stats.get("bytes_out", 0),
         "extract_bytes_per_sec": round(
-            (stats.get("bytes_out") or 0) / max(timings["extract_flagship"], 1e-9)
+            (stats.get("bytes_out") or 0)
+            / max(timings["extract_flagship"], 1e-9)
         ),
         "cpus": cpus,
     }

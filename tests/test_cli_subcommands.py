@@ -88,3 +88,55 @@ def test_cc_alternative_pair_methods(spark, tmp_path, capsys, method):
                "--output", str(tmp_path / "cat"),
                "--method", method, "--run-id", f"m-{method}")
     assert out["rows_written"] > 0
+
+
+def test_ann_persisted_index_build_once_probe_twice(spark, tmp_path, capsys,
+                                                    monkeypatch):
+    """Round-4 prescription: ann --build-index persists centroids + the
+    full-corpus bucket assignment; --index probes reuse them — provably
+    WITHOUT recomputing the assignment (ivf_assign is forbidden during the
+    probes) — and match the recompute-path results exactly."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+        similarity,
+    )
+
+    cat_dir = str(tmp_path / "cat")
+    built = _run(capsys, "ann", "--input", SF_DIR, "--output", cat_dir,
+                 "--build-index", "--run-id", "build-1")
+    assert built["built"] is True
+    cat = Catalog(cat_dir)
+    assert cat.read(spark, "ann_index").count() > 0
+    assert cat.read(spark, "ann_centroids").count() == 8
+
+    # baseline: the recompute path for the same query
+    baseline = _run(capsys, "ann", "--input", SF_DIR,
+                    "--output", str(tmp_path / "base"),
+                    "--query-vec", "1", "--k", "5", "--run-id", "b")
+    base_rows = sorted(
+        (r.vec_id, r.cos_sim)
+        for r in Catalog(str(tmp_path / "base"))
+        .read(spark, "ann_results").collect())
+
+    def _no_assign(*a, **kw):  # the whole point of a persisted index
+        raise AssertionError("ivf_assign must not run on the --index path")
+
+    monkeypatch.setattr(similarity, "ivf_assign", _no_assign)
+    probe1 = _run(capsys, "ann", "--input", SF_DIR, "--output", cat_dir,
+                  "--index", "--query-vec", "1", "--k", "5",
+                  "--run-id", "p1")
+    assert probe1["rows_written"] == 5
+    rows1 = sorted((r.vec_id, r.cos_sim) for r in
+                   cat.read(spark, "ann_results").collect())
+    assert rows1 == base_rows
+
+    # second probe, distinct run id, same persisted index -> identical rows
+    probe2 = _run(capsys, "ann", "--input", SF_DIR,
+                  "--output", str(tmp_path / "cat2"),
+                  "--index", cat_dir, "--query-vec", "1", "--k", "5",
+                  "--run-id", "p2")
+    assert probe2["rows_written"] == 5
+    rows2 = sorted((r.vec_id, r.cos_sim) for r in
+                   Catalog(str(tmp_path / "cat2"))
+                   .read(spark, "ann_results").collect())
+    assert rows2 == rows1
+    assert baseline["rows_written"] == 5

@@ -79,3 +79,23 @@ def test_exact_dedup_groups(spark):
     got = {r.canonical_id: r.n_copies
            for r in dedup.exact_dedup_groups(d).collect()}
     assert got == {1: 2, 3: 1}
+
+
+def test_sql_string_paths_handle_quotable_column_names(spark):
+    """ADVICE regression: the JVM-parsed selectExpr formulations must
+    backtick-quote interpolated identifiers, or column names with spaces/
+    dots/hyphens fail or misparse."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 3 + str(i % 4))
+         for i in range(12)],
+        ["doc id", "the.text"])
+    sigs = D.minhash_signatures(df, key="doc id", text_col="the.text")
+    assert sigs.columns == ["doc id", "signature"]
+    assert sigs.count() == 12
+    sh = D.simhash_signatures(df, key="doc id", text_col="the.text")
+    assert sh.count() == 12
+    pairs = D.minhash_lsh_pairs(df, key="doc id", text_col="the.text")
+    pairs.count()  # parses + runs
+    D.release_caches()

@@ -83,3 +83,30 @@ def test_kmeans_persist_iterations_matches_and_releases(spark, clustered):
     ann = sim.ivf_ann_query(clustered, query_vec_id=0, k=5, centroids=fast)
     bf = sim.cosine_knn(clustered, query_vec_id=0, k=5)
     assert [r.vec_id for r in ann.collect()] == [r.vec_id for r in bf.collect()]
+
+
+def test_near_dup_pairs_n_hint_skips_count(spark):
+    """Round-4: with n_hint the auto-C sizing must NOT run a counting job
+    over the corpus (at 10^12 vectors that is a full extra pass)."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+
+    def _boom():
+        raise AssertionError("count() must not run when n_hint is given")
+
+    emb.count = _boom  # instance attr shadows the method
+    pairs = similarity.cosine_near_dup_pairs(emb, threshold=0.99,
+                                             n_hint=40)
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    similarity.release_caches()
+
+    # same corpus via the counting path -> identical pairs (C identical)
+    emb2 = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    pairs2 = similarity.cosine_near_dup_pairs(emb2, threshold=0.99)
+    assert {(r.vec_a, r.vec_b) for r in pairs2.collect()} == got
+    similarity.release_caches()
