@@ -500,6 +500,35 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """True-BPE tier (verdict #9): merge counting with the deterministic
+    rank table, Arrow-batched; oracle replays the identical merge loop as
+    chained replace() calls (contract._bpe_oracle_sql)."""
+    return textstats.bpe_token_counts(_docs_wide(spark, sf_dir))
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB twin of textstats.bpe_token_counts: per word, codepoints are
+    space-joined and each merge rank applies as one replace() — DuckDB
+    replace and Python str.replace share left-to-right non-overlapping
+    semantics, so the chain below IS the UDF's loop, unrolled."""
+    chain = "' ' || array_to_string(string_split(word, ''), ' ') || ' '"
+    for a, b in textstats.BPE_MERGES:
+        chain = f"replace({chain}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(text, '{textstats.WS_RUN}')) AS word
+          FROM documents
+        ), m AS (
+          SELECT doc_id, {chain} AS merged FROM w WHERE word <> ''
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_words,
+               sum(len(string_split(trim(merged), ' ')))::BIGINT
+                 AS n_bpe_tokens
+        FROM m GROUP BY doc_id"""
+
+
 def q_quality_scores(spark, sf_dir):
     d = textstats.with_quality_score(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", "stop_ratio", "punct_ratio", "quality_score")
@@ -793,6 +822,7 @@ def _kmeans_oracle_sql(num_centroids: int = 8, iters: int = 2,
 
 ORACLES: dict[str, str] = {
     **_EXTRACT_ORACLES,
+    "q_bpe_token_stats": _bpe_oracle_sql(),
     # day slice of committed results: warc_ts = EPOCH + doc_id minutes
     # (datagen.warc_ts_for), body/status from the mirrored extraction
     # arithmetic — the pruned catalog read must reproduce it exactly
@@ -1195,6 +1225,7 @@ QUERIES = {
     "q_doc_stats_by_lang": q_doc_stats_by_lang,
     "q_doc_cube": q_doc_cube,
     "q_token_stats": q_token_stats,
+    "q_bpe_token_stats": q_bpe_token_stats,
     "q_quality_scores": q_quality_scores,
     "q_script_langid": q_script_langid,
     "q_exact_dedup": q_exact_dedup,

@@ -377,7 +377,8 @@ def simhash_near_dups(df: DataFrame, key: str = "doc_id",
 def connected_components(pairs: DataFrame, key_a: str = "doc_a",
                          key_b: str = "doc_b", out_key: str = "doc_id",
                          max_iters: int = 25,
-                         checkpoint_every: int = 4) -> DataFrame:
+                         checkpoint_every: int = 4,
+                         check_every: int = 2) -> DataFrame:
     """Near-duplicate CLUSTERING: connected components over a candidate-pair
     edge list (the step after LSH at corpus scale — pairs say "these two are
     dups", components say "this is one document cluster, keep one copy").
@@ -402,9 +403,14 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
     ContextCleaner once the result is dropped). Persisted rounds are
     released as soon as superseded; the final label table is registered
     for `release_caches()`. Per round: two shuffle joins (edges x labels,
-    labels x labels) + one min-aggregate + ONE convergence job (count and
-    changed-count in the same aggregate), all hash-partitioned on node id
-    (uniform keys — upstream pair generators cap hot buckets).
+    labels x labels) + one min-aggregate, all hash-partitioned on node id
+    (uniform keys — upstream pair generators cap hot buckets). The blocking
+    convergence job runs every `check_every` rounds (and always on the last
+    permitted round), not every round: checking costs a full labels-join
+    stats pass, and near-clique graphs converge in 2-3 rounds anyway, so
+    halving the check count saves more than the single extra join round it
+    can cost (round-3 verdict #5). The raise-on-non-convergence guarantee
+    is unchanged — returning requires an actual chg == 0 observation.
 
     The reference has no graph step (single-doc pipeline); this extends the
     LLM-data-pipeline suite (task brief: dedup as first-class). Deterministic
@@ -434,6 +440,9 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
     edges0.unpersist()
     labels = (edges.select(F.col("a").alias("node")).distinct()
               .withColumn("comp", F.col("node")))
+    # the node set never changes, so its size is loop-invariant — computed
+    # once for the leaf-reset size guard instead of once per round
+    n_nodes = labels.count()
     prev = None
     for it in range(max_iters):
         neigh = edges.join(labels, edges["a"] == labels["node"]).select(
@@ -453,27 +462,29 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
         ).select(
             F.col("st.node").alias("node"), F.col("jm.comp").alias("comp")
         ).persist()
-        stats = new_labels.alias("nw").join(
-            labels.alias("ol"), F.col("nw.node") == F.col("ol.node")
-        ).agg(
-            F.count("*").alias("n"),
-            # coalesce: sum over ZERO rows is null, and `None == 0` would
-            # make an empty pair set spin all max_iters then raise
-            F.coalesce(
-                F.sum((F.col("nw.comp") != F.col("ol.comp")).cast("int")),
-                F.lit(0),
-            ).alias("chg"),
-        ).first()
+        if (it + 1) % check_every == 0 or it == max_iters - 1:
+            chg = new_labels.alias("nw").join(
+                labels.alias("ol"), F.col("nw.node") == F.col("ol.node")
+            ).agg(
+                # coalesce: sum over ZERO rows is null, and `None == 0`
+                # would make an empty pair set spin max_iters then raise
+                F.coalesce(
+                    F.sum((F.col("nw.comp") != F.col("ol.comp")).cast("int")),
+                    F.lit(0),
+                ).alias("chg"),
+            ).first().chg
+        else:
+            chg = None  # unchecked round — convergence unknown
         if prev is not None:
             prev.unpersist()
-        if stats.chg == 0:
+        if chg == 0:
             register_cache(new_labels)
             return new_labels.select(F.col("node").alias(out_key),
                                      F.col("comp").alias("component_id"))
         if (it + 1) % checkpoint_every == 0:
-            broken = _leaf_reset(new_labels, stats.n)
+            broken = _leaf_reset(new_labels, n_nodes)
             new_labels.unpersist()
-            if stats.n <= collect_break_max:
+            if n_nodes <= collect_break_max:
                 broken = broken.persist()
             new_labels = broken
         prev = labels = new_labels

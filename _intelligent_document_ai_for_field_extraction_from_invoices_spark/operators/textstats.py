@@ -7,6 +7,10 @@ Retargets of the reference's text ops: language detection by script ratio
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: TC002 — pandas_udf type-hint resolution needs
+# the name in MODULE globals (postponed annotations + a function-local
+# import leave 'pd.Series' unresolvable to get_type_hints)
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -139,3 +143,68 @@ def normalized_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+# ---------------------------------------------------------------------------
+# True BPE token counting (opt-in tier over the pretokenizer proxy above)
+# ---------------------------------------------------------------------------
+
+# Deterministic merge table, rank-ordered (the vocabulary a trained BPE
+# would learn over English web text, fixed here so Spark and the DuckDB
+# oracle replay the identical procedure). Later ranks cascade over earlier
+# merges ('t'+'h' -> 'th', then 'th'+'e' -> 'the'), exactly like a real
+# merges.txt. Small by design: it broadcasts with the UDF closure.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"), ("o", "r"),
+    ("e", "n"), ("a", "t"), ("e", "s"), ("s", "t"), ("a", "r"),
+    ("l", "l"), ("in", "g"), ("e", "d"), ("c", "h"), ("o", "m"),
+    ("i", "s"), ("i", "t"), ("a", "l"), ("e", "l"),
+]
+
+
+def bpe_token_counts(df: DataFrame, key: str = "doc_id",
+                     text_col: str = "text",
+                     merges: list[tuple[str, str]] | None = None
+                     ) -> DataFrame:
+    """TRUE BPE token counts per document (round-3 verdict #9) — the opt-in
+    tier above the `n_bpe_tokens` pretokenizer proxy, for when the actual
+    sub-word budget matters more than scan speed.
+
+    Procedure (identical, step for step, in the DuckDB oracle —
+    contract._bpe_oracle_sql): split on the explicit WS class; per word,
+    space-separate its codepoints and apply each merge rank in order as a
+    left-to-right non-overlapping ` a b ` -> ` ab ` replacement (Python
+    str.replace and SQL replace() share those semantics exactly); the
+    word's token count is what remains. Runs as ONE Arrow-batched pandas
+    UDF per doc row — the merge loop is per word inside the batch, there
+    is no per-row Python UDF dispatch and no explode/shuffle (the proxy
+    column stays the default precisely because this tier pays Python+Arrow
+    transfer for the text column)."""
+    import re  # noqa: PLC0415
+
+    mg = list(merges or BPE_MERGES)
+    ws_re = re.compile(f"[{WS_CHARS}]+")
+
+    @F.pandas_udf("n_words long, n_bpe_tokens long")
+    def _counts(texts: pd.Series) -> pd.DataFrame:
+        out_w, out_t = [], []
+        for text in texts:
+            nw = nt = 0
+            for w in ws_re.split(text or ""):
+                if not w:
+                    continue
+                nw += 1
+                t = " " + " ".join(w) + " "
+                for a, b in mg:
+                    t = t.replace(f" {a} {b} ", f" {a}{b} ")
+                nt += len(t.split())
+            out_w.append(nw)
+            out_t.append(nt)
+        return pd.DataFrame({"n_words": out_w, "n_bpe_tokens": out_t})
+
+    return (
+        df.select(F.col(key), _counts(F.col(text_col)).alias("c"))
+        .select(key, "c.*")
+        .filter(F.col("n_words") > 0)  # oracle scope: docs with words
+    )
