@@ -140,3 +140,36 @@ def test_ann_persisted_index_build_once_probe_twice(spark, tmp_path, capsys,
                    .read(spark, "ann_results").collect())
     assert rows2 == rows1
     assert baseline["rows_written"] == 5
+
+
+def test_report_subcommand_prunes_day_slice(spark, tmp_path, capsys):
+    """`report --day/--since/--until` reads the committed results with a
+    manifest-pruned scan and emits per-day stats + prune evidence."""
+    from pyspark.sql import functions as F
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark import datagen
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.plans import lineage
+
+    docs = spark.createDataFrame(
+        [(i * 30, f"report doc {i} " + "word " * 30, "en")
+         for i in range(144)],  # 3 crawl days at 30-min spacing
+        "doc_id long, text string, lang string")
+    pages = datagen.pages_from_documents(docs)
+    cat_dir = str(tmp_path / "cat")
+    lineage.run_extraction(spark, pages, Catalog(cat_dir), "run-r",
+                           num_partitions=8)
+
+    out = _run(capsys, "report", "--catalog", cat_dir,
+               "--day", "2025-01-02")
+    assert [d["warc_day"] for d in out["days"]] == ["2025-01-02"]
+    assert out["scan"]["files_selected"] > 0
+    assert out["days"][0]["documents"] == 48
+
+    out2 = _run(capsys, "report", "--catalog", cat_dir,
+                "--since", "2025-01-02")
+    assert [d["warc_day"] for d in out2["days"]] == \
+        ["2025-01-02", "2025-01-03"]
+    full = _run(capsys, "report", "--catalog", cat_dir)
+    assert sum(d["documents"] for d in full["days"]) == 144
+    # the day slice really opened fewer files than the full read
+    assert out["scan"]["files_selected"] < full["scan"]["files_selected"]
