@@ -7,6 +7,8 @@ LLM-data-pipeline operators, so the dedup suite runs without writing code:
         extract --input /root/testdata/sf0.001 --output /tmp/cat \
         [--limit K] [--partitions P] [--cores N] [--run-id ID] [--vacuum]
 
+    ... report  --catalog CAT [--day D | --since D [--until D]]
+                                              # day-sliced stats, pruned read
     ... dedup   --input DIR --output CAT      # exact dedup groups
     ... jaccard --input DIR --output CAT      # n-gram shingle + Jaccard pairs
     ... cc      --input DIR --output CAT      # near-dup clustering (components)
@@ -105,6 +107,44 @@ def cmd_extract(spark, args) -> dict:
                    (lineage.RESULTS_TABLE, lineage.LINEAGE_TABLE,
                     lineage.CHECKPOINT_TABLE)},
         "files_vacuumed": n_vacuumed,
+    }
+
+
+def cmd_report(spark, args) -> dict:
+    """The daily read a real user runs against a committed extraction
+    catalog: a day (or day-range) slice of the results table. The slice is
+    MANIFEST-PRUNED — non-matching crawl days' files are never opened
+    (tables.py scan_files; results land partitioned by warc_day since
+    round 4) — and the emitted `scan` stats show exactly how much the
+    prune skipped."""
+    cat = Catalog(args.catalog)
+    where = None
+    if args.day:
+        where = {"warc_day": args.day}
+    elif args.since and args.until:
+        where = {"warc_day": ("between", args.since, args.until)}
+    elif args.since:
+        where = {"warc_day": (">=", args.since)}
+    elif args.until:
+        where = {"warc_day": ("<=", args.until)}
+    res = cat.read(spark, lineage.RESULTS_TABLE, where=where)
+    scan = dict(cat.last_scan_stats)
+    days = (
+        res.groupBy("warc_day").agg(
+            F.count("*").alias("documents"),
+            F.sum(F.when(F.col("status") == "success", 1).otherwise(0))
+             .alias("ok"),
+            F.sum(F.length("body_text")).alias("extracted_bytes"),
+        ).orderBy("warc_day").collect()
+    )
+    return {
+        "days": [
+            {"warc_day": r.warc_day, "documents": r.documents,
+             "success_rate": round(r.ok / max(r.documents, 1), 4),
+             "extracted_bytes": r.extracted_bytes}
+            for r in days
+        ],
+        "scan": scan,
     }
 
 
@@ -223,6 +263,15 @@ def main(argv=None) -> None:
                    help="after the run, delete data files not referenced by"
                         " current snapshots (expired/rolled-back commits)")
 
+    p = sub.add_parser("report", help="day-sliced stats over a committed "
+                                      "extraction catalog (pruned read)")
+    p.add_argument("--catalog", required=True,
+                   help="catalog directory a prior `extract` wrote")
+    p.add_argument("--day", default=None, help="exact crawl day YYYY-MM-DD")
+    p.add_argument("--since", default=None, help="first crawl day, inclusive")
+    p.add_argument("--until", default=None, help="last crawl day, inclusive")
+    p.add_argument("--cores", default=None)
+
     p = sub.add_parser("dedup", help="exact dedup groups -> catalog")
     _add_common(p)
 
@@ -275,6 +324,7 @@ def main(argv=None) -> None:
     spark = get_spark(f"webtext-{args.cmd}-cli", cores=args.cores)
     out = {
         "extract": cmd_extract,
+        "report": cmd_report,
         "dedup": cmd_dedup,
         "jaccard": cmd_jaccard,
         "cc": cmd_cc,
