@@ -56,18 +56,24 @@ def _docs(spark, args):
 
 
 def _emit(catalog: Catalog, table: str, df, run_id: str,
-          release: bool = True) -> dict:
+          release: bool = True, mode: str = "append") -> dict:
     """Write a result table exactly-once per run id and return its stats.
     `release=False` keeps the operators' registered caches alive for a
     follow-up emit that reuses the same upstream result (e.g. cc
-    --keep-one would otherwise re-run the whole iterative clustering)."""
+    --keep-one would otherwise re-run the whole iterative clustering).
+    `mode="overwrite"` is for replace-semantics tables (the ANN index:
+    a rebuild with a new run id must REPLACE the old index, not append a
+    second copy that fans out every later probe join)."""
     txn = f"cli:{table}:{run_id}"
     if catalog.exists(table) and txn in catalog.txns(table):
         rows = None  # replayed run id: already durably committed
     else:
         df = df.persist()
-        rows = df.count()  # persisted: the append below reuses the blocks
-        catalog.append(table, df, txn=txn)
+        rows = df.count()  # persisted: the write below reuses the blocks
+        if mode == "overwrite":
+            catalog.overwrite(table, df, txn=txn)
+        else:
+            catalog.append(table, df, txn=txn)
         df.unpersist()
     if release:
         dedup_ops.release_caches()
@@ -118,6 +124,8 @@ def cmd_report(spark, args) -> dict:
     round 4) — and the emitted `scan` stats show exactly how much the
     prune skipped."""
     cat = Catalog(args.catalog)
+    if args.day and (args.since or args.until):
+        raise SystemExit("report: --day is exclusive with --since/--until")
     where = None
     if args.day:
         where = {"warc_day": args.day}
@@ -226,8 +234,9 @@ def cmd_ann(spark, args) -> dict:
         assign = similarity.ivf_assign(
             emb, args.centroids, centroids=cents)
         r1 = _emit(cat, ANN_CENTROIDS_TABLE, cents, args.run_id,
-                   release=False)
-        r2 = _emit(cat, ANN_INDEX_TABLE, assign, args.run_id)
+                   release=False, mode="overwrite")
+        r2 = _emit(cat, ANN_INDEX_TABLE, assign, args.run_id,
+                   mode="overwrite")
         return {"built": True, "centroids": r1, "index": r2}
 
     if args.query_vec is None:

@@ -183,9 +183,11 @@ def q_extract_blocks_kept(spark, sf_dir):
     )
 
 
-# one materialized pipeline catalog per (session, sf) — same keying/bounding
-# rationale as _RESULTS_CACHE; dirs are reclaimed at process exit
+# one materialized pipeline catalog per (session, sf) — same keying AND the
+# same bound as _RESULTS_CACHE (evicting the oldest rmtrees its tmp dir, so
+# a long-lived driver can't accumulate materialized catalogs on disk)
 _PIPELINE_CATS: dict[tuple[SparkSession, str], Catalog] = {}
+_PIPELINE_CATS_MAX = 2
 
 
 def pipeline_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
@@ -199,6 +201,10 @@ def pipeline_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
         import shutil  # noqa: PLC0415
         import tempfile  # noqa: PLC0415
 
+        while len(_PIPELINE_CATS) >= _PIPELINE_CATS_MAX:
+            oldest = next(iter(_PIPELINE_CATS))
+            shutil.rmtree(_PIPELINE_CATS.pop(oldest).root,
+                          ignore_errors=True)
         tmp = tempfile.mkdtemp(prefix="sparkgraft_contract_cat_")
         atexit.register(shutil.rmtree, tmp, ignore_errors=True)
         cat = Catalog(tmp)

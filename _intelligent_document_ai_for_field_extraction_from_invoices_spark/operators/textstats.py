@@ -198,7 +198,11 @@ def bpe_token_counts(df: DataFrame, key: str = "doc_id",
                 t = " " + " ".join(w) + " "
                 for a, b in mg:
                     t = t.replace(f" {a} {b} ", f" {a}{b} ")
-                nt += len(t.split())
+                # split on the SINGLE space separator, exactly like the
+                # oracle's string_split(trim(t), ' ') — bare str.split()
+                # would also split on unicode whitespace INSIDE a token
+                # (NBSP etc.) and silently diverge from DuckDB
+                nt += sum(1 for seg in t.split(" ") if seg)
             out_w.append(nw)
             out_t.append(nt)
         return pd.DataFrame({"n_words": out_w, "n_bpe_tokens": out_t})

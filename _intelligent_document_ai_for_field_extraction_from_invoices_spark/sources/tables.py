@@ -56,9 +56,10 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Spark writes null AND empty-string partition values to this hive dir name;
-# the residual filter for an equality-with-null predicate therefore matches
-# both (documented lossy hive encoding, same as real hive-partitioned tables)
+# Spark writes null AND empty-string partition values to this hive dir name.
+# The DIRECTORY encoding is lossy, but the residual row filter is not: the
+# sentinel only governs which files are OPENED; equality-with-None then
+# matches exactly the null rows and equality-with-'' exactly the '' rows.
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 # manifest merge policy: when at least MERGE_MIN manifests smaller than
@@ -115,16 +116,21 @@ def _normalize_pred(spec) -> tuple:
 def _match_value(pred: tuple, v: str | None) -> bool:
     """Does one file's recorded partition value satisfy the predicate?
     Unknown values (file written without partition_by) conservatively
-    match — pruning is an optimization, the residual filter is exact."""
+    match — pruning is an optimization, the residual filter is exact.
+    The hive sentinel dir holds BOTH null and empty-string rows, so a
+    sentinel file must be kept whenever '' could satisfy the predicate
+    (review finding: pruning it while the residual `c == ''` / `c >= ''`
+    would match is a silent row loss)."""
     if v is None:
         return True
     op = pred[0]
     if op == "=":
-        return v == pred[1]
+        return v == pred[1] or (v == HIVE_NULL and pred[1] == "")
     if op == "in":
-        return v in pred[1]
+        return v in pred[1] or (v == HIVE_NULL and "" in pred[1])
     if v == HIVE_NULL:
-        return False  # null never satisfies a range
+        v = ""  # the sentinel may hide '' rows; nulls themselves never
+        # satisfy a range (null string casts compare to null -> filtered)
     if op == ">=":
         return v >= pred[1]
     if op == "<=":
@@ -149,12 +155,14 @@ def _match_summary(pred: tuple, summ: dict | None) -> bool:
     lo, hi = summ.get("min"), summ.get("max")
     op = pred[0]
     if op == "=":
-        if pred[1] == HIVE_NULL:
+        if pred[1] in (HIVE_NULL, ""):
             return has_null
         return lo is not None and lo <= pred[1] <= hi
     if op == "in":
         return any(_match_summary(("=", v), summ) for v in pred[1])
-    if lo is None:  # all-null manifest never overlaps a range
+    if has_null and _match_value(pred, HIVE_NULL):
+        return True  # sentinel files may hide '' rows the range matches
+    if lo is None:  # otherwise an all-null manifest never overlaps a range
         return False
     if op == ">=":
         return hi >= pred[1]
@@ -232,6 +240,8 @@ class Catalog:
         }
 
     def _read_manifest(self, entry: dict) -> list[dict]:
+        if "rows" in entry:  # in-memory entry upgraded from an old-layout
+            return entry["rows"]  # snapshot (see _upgrade_snap)
         with open(entry["manifest"]) as f:
             return json.load(f)["files"]
 
@@ -258,7 +268,7 @@ class Catalog:
         except FileNotFoundError:
             return None
         with open(os.path.join(self._meta(table), f"v{version}.json")) as f:
-            return json.load(f)
+            return self._upgrade_snap(json.load(f))
 
     def _commit(self, table: str, manifests: list[dict], operation: str,
                 parent: int | None, txn: str | None = None,
@@ -283,6 +293,25 @@ class Catalog:
         os.replace(tmp, self._current_path(table))  # the atomic flip
         return version
 
+    @staticmethod
+    def _upgrade_snap(snap: dict) -> dict:
+        """Read-compat for pre-manifest-list snapshots (round-3 layout:
+        full "files" list + per-file "partitions" dict in the snapshot).
+        Upgraded IN MEMORY to one synthetic manifest entry with inline
+        rows; the next append/rollback commit writes the new layout."""
+        if "manifests" in snap:
+            return snap
+        parts = snap.get("partitions") or {}
+        rows = [{"path": f, "partition": parts.get(f), "txn": snap.get("txn")}
+                for f in snap.get("files", [])]
+        snap = dict(snap)
+        snap["manifests"] = [{
+            "manifest": None, "rows": rows, "n_files": len(rows),
+            "txns": [snap["txn"]] if snap.get("txn") else [],
+            "summary": _build_summary(rows),
+        }]
+        return snap
+
     def _snap(self, table: str, version: int | None) -> dict:
         if version is None:
             snap = self._read_current(table)
@@ -291,7 +320,7 @@ class Catalog:
                 snap = json.load(f)
         if snap is None:
             raise FileNotFoundError(f"table not found: {table}")
-        return snap
+        return self._upgrade_snap(snap)
 
     def _snap_files(self, snap: dict, missing_ok: bool = False) -> list[str]:
         """Resolve a snapshot's manifest list to its file list. With
@@ -301,7 +330,8 @@ class Catalog:
         on the LIVE path stays a hard error (real corruption)."""
         out: list[str] = []
         for e in snap["manifests"]:
-            if missing_ok and not os.path.exists(e["manifest"]):
+            if missing_ok and e.get("manifest") and \
+                    not os.path.exists(e["manifest"]):
                 continue
             out.extend(r["path"] for r in self._read_manifest(e))
         return sorted(out)
@@ -321,7 +351,7 @@ class Catalog:
         for fn in sorted(os.listdir(meta)):
             if fn.startswith("v") and fn.endswith(".json"):
                 with open(os.path.join(meta, fn)) as f:
-                    snap = json.load(f)
+                    snap = self._upgrade_snap(json.load(f))
                 snap["files"] = self._snap_files(snap, missing_ok=True)
                 out.append(snap)
         return sorted(out, key=lambda s: s["version"])
@@ -368,12 +398,16 @@ class Catalog:
         return sorted(rows, key=lambda r: r["path"])
 
     def overwrite(self, table: str, df: DataFrame,
-                  partition_by: list[str] | None = None) -> int:
-        rows = self._stage(table, df, partition_by)
+                  partition_by: list[str] | None = None,
+                  txn: str | None = None) -> int:
+        """Replace the table's contents. `txn` tags the commit the same way
+        append's does, so writers with replace semantics (e.g. an index
+        rebuild) get the same exactly-once replay detection via txns()."""
+        rows = self._stage(table, df, partition_by, txn=txn)
         cur = self._read_current(table)
-        entry = self._write_manifest(table, rows, [None])
+        entry = self._write_manifest(table, rows, [txn])
         return self._commit(table, [entry], "overwrite",
-                            cur["version"] if cur else None,
+                            cur["version"] if cur else None, txn=txn,
                             schema=df.schema.json())
 
     def append(self, table: str, df: DataFrame, txn: str | None = None,
@@ -421,10 +455,11 @@ class Catalog:
             if not dead:
                 keep_entries.append(e)
                 continue
-            if dead == txns and txns:
-                n_removed += e["n_files"]  # whole manifest is dead
-                changed = True
-                continue
+            # a manifest with dead txns is always REWRITTEN from its rows,
+            # never dropped by its entry-level txn set alone: the set omits
+            # untagged (txn=None) rows a merge may have folded in, and
+            # dropping the whole manifest would silently lose them (review
+            # finding — 'untagged appends are always kept' is the contract)
             rows = self._read_manifest(e)
             live_rows = [r for r in rows if r.get("txn") not in dead]
             n_removed += len(rows) - len(live_rows)
@@ -462,7 +497,7 @@ class Catalog:
                         for f in self._snap_files(s, missing_ok=True))
             keep_manifests.update(
                 os.path.realpath(e["manifest"]) for e in s["manifests"]
-                if os.path.exists(e["manifest"]))
+                if e.get("manifest") and os.path.exists(e["manifest"]))
         data_root = os.path.join(self._tdir(table), "data")
         if not os.path.isdir(data_root):
             return 0
@@ -571,20 +606,20 @@ class Catalog:
 
     @staticmethod
     def _residual(F, df: DataFrame, col: str, pred: tuple):
-        """Row-level filter with the same semantics the prune used: values
-        compare as string casts; equality with None matches NULL and ''
-        (both land in the same hive dir — documented lossy encoding)."""
+        """Row-level filter, EXACT where the hive dir encoding is lossy:
+        null and '' share the sentinel dir (so both files are opened), but
+        here None matches only NULL rows and '' only empty-string rows."""
         c = df[col].cast("string")
         op = pred[0]
         if op == "=":
             if pred[1] == HIVE_NULL:
-                return c.isNull() | (c == "")
+                return c.isNull()
             return c == pred[1]
         if op == "in":
             non_null = [v for v in pred[1] if v != HIVE_NULL]
             cond = c.isin(non_null) if non_null else F.lit(False)
             if HIVE_NULL in pred[1]:
-                cond = cond | c.isNull() | (c == "")
+                cond = cond | c.isNull()
             return cond
         if op == ">=":
             return c >= pred[1]

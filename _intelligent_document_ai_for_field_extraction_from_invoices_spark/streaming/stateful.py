@@ -103,6 +103,10 @@ def session_counts_stream(spark: SparkSession, sf_dir: str,
         q.processAllAvailable()
     finally:
         q.stop()
+    import os  # noqa: PLC0415
+
+    if not os.path.isdir(f"{out}/data"):
+        return spark.createDataFrame([], sessions.schema)  # zero batches
     spark.read.parquet(f"{out}/data").createOrReplaceTempView(
         view := f"sess_out_{uuid.uuid4().hex[:8]}")
     return spark.sql(last_per_user.format(src=view))

@@ -8,6 +8,7 @@ to completion synchronously)."""
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,4 +73,8 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str,
         q.processAllAvailable()
     finally:
         q.stop()
+    if not os.path.isdir(f"{out}/data"):
+        # a source with zero batches never ran foreachBatch: return the
+        # empty result (the memory sink's behavior), don't crash the read
+        return spark.createDataFrame([], agg.schema)
     return spark.read.parquet(f"{out}/data")

@@ -173,3 +173,23 @@ def test_report_subcommand_prunes_day_slice(spark, tmp_path, capsys):
     assert sum(d["documents"] for d in full["days"]) == 144
     # the day slice really opened fewer files than the full read
     assert out["scan"]["files_selected"] < full["scan"]["files_selected"]
+
+
+def test_ann_index_rebuild_replaces_not_appends(spark, tmp_path, capsys):
+    """Review regression: a second --build-index with a new run id must
+    REPLACE the persisted index — an append would double every assignment
+    and fan out all later probe joins."""
+    cat_dir = str(tmp_path / "cat")
+    _run(capsys, "ann", "--input", SF_DIR, "--output", cat_dir,
+         "--build-index", "--run-id", "b1")
+    _run(capsys, "ann", "--input", SF_DIR, "--output", cat_dir,
+         "--build-index", "--run-id", "b2")
+    cat = Catalog(cat_dir)
+    assert cat.read(spark, "ann_centroids").count() == 8
+    idx = cat.read(spark, "ann_index")
+    n = idx.count()
+    assert n == idx.select("vec_id").distinct().count()  # one row per vec
+    # replaying b2 is still a no-op
+    out = _run(capsys, "ann", "--input", SF_DIR, "--output", cat_dir,
+               "--build-index", "--run-id", "b2")
+    assert out["index"]["rows_written"] is None

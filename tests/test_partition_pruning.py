@@ -268,3 +268,80 @@ def test_pipeline_writes_day_partitioned_results(spark, tmp_path):
     # lineage is partitioned by run_id too
     assert cat.scan_files(
         lineage.LINEAGE_TABLE, where={"run_id": "run-days"})
+
+
+def test_empty_string_partition_values_not_lost(spark, tmp_path):
+    """Review regression: rows with '' partition values land in the hive
+    null-sentinel dir; equality/range predicates that '' satisfies must
+    keep those files so the residual filter can match the rows."""
+    cat = Catalog(str(tmp_path))
+    df = spark.createDataFrame([(1, ""), (2, "en"), (3, None)],
+                               "doc_id long, lang string")
+    cat.append("t", df, partition_by=["lang"])
+    got = cat.read(spark, "t", where={"lang": ""}).collect()
+    assert {r.doc_id for r in got} == {1}  # exact: '' only, not null
+    got_null = cat.read(spark, "t", where={"lang": None}).collect()
+    assert {r.doc_id for r in got_null} == {3}  # exact: null only
+    got_ge = cat.read(spark, "t", where={"lang": ("<=", "en")}).collect()
+    assert {r.doc_id for r in got_ge} == {1, 2}  # '' <= 'en'; null drops
+    got_in = cat.read(spark, "t", where={"lang": ("in", ["", "en"])})
+    assert {r.doc_id for r in got_in.collect()} == {1, 2}
+
+
+def test_rollback_keeps_untagged_rows_in_merged_manifest(spark, tmp_path):
+    """Review regression: a merged manifest whose NAMED txns are all dead
+    can still hold untagged (txn=None) rows — rollback must rewrite, not
+    drop, the manifest."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.sources import tables as T
+
+    cat = Catalog(str(tmp_path))
+    df = spark.range(2).coalesce(1)
+    cat.append("t", df)  # untagged
+    for i in range(T.MERGE_MIN - 1):
+        cat.append("t", df, txn="dead")
+    assert len(cat._read_current("t")["manifests"]) == 1  # merged
+    removed = cat.remove_orphan_appends("t", live_txns=set())
+    assert removed == T.MERGE_MIN - 1
+    assert cat.read(spark, "t").count() == 2  # the untagged rows survive
+
+
+def test_reads_pre_manifest_list_snapshots(spark, tmp_path):
+    """Review regression: catalogs written by the round-3 layout (full
+    "files" list in the snapshot) must stay readable — upgraded in memory
+    to one synthetic manifest entry; the next commit writes the new
+    layout."""
+    import json
+    import os
+
+    cat = Catalog(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, ["en", "hi"][i % 2]) for i in range(10)],
+        "doc_id long, lang string")
+    cat.append("t", df, partition_by=["lang"])
+    # rewrite the snapshot in the OLD layout
+    snap = cat._read_current("t")
+    files, parts = [], {}
+    for e in snap["manifests"]:
+        for r in cat._read_manifest(e):
+            files.append(r["path"])
+            if r.get("partition"):
+                parts[r["path"]] = r["partition"]
+    old = {"version": 1, "parent": None, "operation": "append",
+           "files": sorted(files), "added": sorted(files), "txn": "legacy",
+           "partitions": parts, "committed_at": 0.0}
+    meta = os.path.join(str(tmp_path), "t", "_meta")
+    for fn in os.listdir(meta):
+        if fn.startswith(("v", "m-")):
+            os.remove(os.path.join(meta, fn))
+    with open(os.path.join(meta, "v1.json"), "w") as f:
+        json.dump(old, f)
+    with open(os.path.join(meta, "_current"), "w") as f:
+        f.write("1")
+
+    assert cat.read(spark, "t").count() == 10
+    en = cat.scan_files("t", where={"lang": "en"})
+    assert 0 < len(en) < len(cat.scan_files("t"))
+    # appends on top of a legacy snapshot write the new layout and keep data
+    cat.append("t", df.limit(2))
+    assert cat.read(spark, "t").count() == 12
+    assert "manifests" in cat._read_current("t")
