@@ -345,3 +345,42 @@ def test_reads_pre_manifest_list_snapshots(spark, tmp_path):
     cat.append("t", df.limit(2))
     assert cat.read(spark, "t").count() == 12
     assert "manifests" in cat._read_current("t")
+
+
+def test_predicate_semantics_property(spark, tmp_path):
+    """Property check: for a table whose partition values include the nasty
+    cases (None, '', hive-escaped chars, unicode, digits), EVERY predicate
+    form must return exactly the rows the documented string-cast semantics
+    predict — pruning can only change which files open, never the rows."""
+    vals = [None, "", "en", "hi", "zh-Hant", "2024-01-01 12:00:00",
+            "a:b", "0", "10", "9", "日本語", "x y"]
+    rows = [(i, v) for i, v in enumerate(vals)] + \
+           [(100 + i, v) for i, v in enumerate(vals)]
+    cat = Catalog(str(tmp_path))
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    cat.append("t", df.repartition(3), partition_by=["lang"])
+
+    def expect(pred_fn):
+        return {i for i, v in rows if v is not None and pred_fn(v)}
+
+    cases = [
+        ({"lang": "en"}, expect(lambda v: v == "en")),
+        ({"lang": ""}, expect(lambda v: v == "")),
+        ({"lang": None}, {i for i, v in rows if v is None}),
+        ({"lang": "a:b"}, expect(lambda v: v == "a:b")),
+        ({"lang": "日本語"}, expect(lambda v: v == "日本語")),
+        ({"lang": "x y"}, expect(lambda v: v == "x y")),
+        ({"lang": ("in", ["en", None, "10"])},
+         expect(lambda v: v in ("en", "10"))
+         | {i for i, v in rows if v is None}),
+        ({"lang": (">=", "en")}, expect(lambda v: v >= "en")),
+        ({"lang": ("<", "en")}, expect(lambda v: v < "en")),
+        ({"lang": ("<=", "")}, expect(lambda v: v <= "")),
+        ({"lang": ("between", "0", "9")},
+         expect(lambda v: "0" <= v <= "9")),  # lexicographic: '10' matches
+        ({"lang": ("in", [""])}, expect(lambda v: v == "")),
+        ({"lang": (">", "zh-Hant")}, expect(lambda v: v > "zh-Hant")),
+    ]
+    for where, want in cases:
+        got = {r.doc_id for r in cat.read(spark, "t", where=where).collect()}
+        assert got == want, (where, sorted(got), sorted(want))
