@@ -104,13 +104,27 @@ def stream_to_catalog(spark: SparkSession, pages_dir: str, catalog,
     sink to exactly-once — the same marker discipline as the batch
     pipeline's checkpoint commit (plans/lineage.py). Returns the query."""
     stream = _stream_reader(spark, pages_dir, files_per_trigger)
-    results = extract_pages(stream, num_partitions=num_partitions)
+    # same day-partitioned layout as the batch pipeline (plans/lineage.py):
+    # warc_day rides through the extraction UDF so streamed results prune
+    # identically under the report/read path
+    partitioned = "warc_ts" in stream.columns
+    passthrough = []
+    if partitioned:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        stream = stream.withColumn(
+            "warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))
+        passthrough = [("warc_day", "string")]
+        stream = stream.select("url", "html", "warc_day")
+    results = extract_pages(stream, num_partitions=num_partitions,
+                            passthrough=passthrough)
 
     def write_batch(df, batch_id: int):
         txn = f"stream:{table}:{batch_id}"
         if catalog.exists(table) and txn in catalog.txns(table):
             return  # replayed micro-batch: already durably committed
-        catalog.append(table, df, txn=txn)
+        catalog.append(table, df, txn=txn,
+                       partition_by=["warc_day"] if partitioned else None)
 
     return (
         results.writeStream.foreachBatch(write_batch)

@@ -99,3 +99,37 @@ def test_sql_string_paths_handle_quotable_column_names(spark):
     pairs = D.minhash_lsh_pairs(df, key="doc id", text_col="the.text")
     pairs.count()  # parses + runs
     D.release_caches()
+
+
+def test_bpe_token_counts_engine_identity_adversarial(spark, tmp_path):
+    """Engine-identity net for the true-BPE tier: adversarial whitespace
+    (NBSP/NEL/thin-space INSIDE words — outside WS_CHARS, so they are word
+    bytes, not separators), merge cascades, and multilingual codepoints
+    must count identically in Spark and the DuckDB oracle."""
+    import duckdb
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark import contract
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+        textstats,
+    )
+
+    rows = [
+        (0, "the theatre is there"),          # cascading th/the merges
+        (1, "a b c d e\x85f"),      # unicode WS inside words
+        (2, "hello\x0bworld tab\there"),      # VT/tab are separators
+        (3, "हिंदी में and ગુજરાતી pani"),      # multilingual codepoints
+        (4, "  padded   runs   "),
+        (5, "ing inging thethe"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(pq)
+
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in textstats.bpe_token_counts(df).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT doc_id, text "
+            f"FROM read_parquet('{pq}/*.parquet')")
+    want = {r[0]: (r[1], r[2])
+            for r in con.sql(contract._bpe_oracle_sql()).fetchall()}
+    assert got == want

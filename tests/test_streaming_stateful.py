@@ -212,3 +212,11 @@ def test_stream_to_catalog_exactly_once(spark, documents, tmp_path):
     # every committed snapshot carries a stream txn tag
     assert all(t.startswith("stream:stream_results:")
                for t in cat.txns("stream_results"))
+    # round 4: streamed results share the batch pipeline's day-partitioned
+    # layout, so the report/read path prunes them identically
+    assert all(r.warc_day == "2025-01-01" for r in rows)
+    pruned = cat.read(spark, "stream_results",
+                      where={"warc_day": "2025-01-01"})
+    assert pruned.count() == 500
+    assert cat.read(spark, "stream_results",
+                    where={"warc_day": "1999-01-01"}).count() == 0
