@@ -644,6 +644,50 @@ def q_embedding_near_dups(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_hyperplane_lsh_near_dups(spark, sf_dir):
+    """Embedding near-dups via banded random-hyperplane LSH (the second
+    bucketing family next to IVF). The plane matrix is md5-parity ±1
+    constants shared with the oracle; signature dots are identically
+    unrolled left-associative sums, so the sign test is bit-deterministic
+    cross-engine."""
+    return similarity.hyperplane_lsh_pairs(_emb_wide(spark, sf_dir),
+                                           threshold=0.40, dim=64)
+
+
+def _hyperplane_oracle_sql(threshold: float = 0.40, dim: int = 64,
+                           max_bucket: int = 256) -> str:
+    planes, bands = similarity.HYPERPLANE_PLANES, similarity.HYPERPLANE_BANDS
+    rpb = planes // bands
+    sig = similarity.signature_sql(planes, dim,
+                                   "CAST(embedding[{i}] AS DOUBLE)")
+    return f"""
+        WITH sig AS (
+          SELECT vec_id, ({sig}) AS sig FROM embeddings
+        ), b AS (
+          SELECT vec_id, band,
+                 (sig >> (band * {rpb})) & {(1 << rpb) - 1} AS bucket
+          FROM sig, (SELECT unnest(range({bands})) AS band) t
+        ), capped AS (
+          SELECT * FROM b QUALIFY
+            count(*) OVER (PARTITION BY band, bucket) <= {max_bucket}
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+          FROM capped a JOIN capped c
+            ON a.band = c.band AND a.bucket = c.bucket
+           AND a.vec_id < c.vec_id
+        )
+        SELECT vec_a, vec_b,
+               round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                            eb.embedding::DOUBLE[]), 6)
+                 AS cos_sim
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.vec_a
+        JOIN embeddings eb ON eb.vec_id = cand.vec_b
+        WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                           eb.embedding::DOUBLE[]), 6)
+              >= {threshold}"""
+
+
 def _minhash_oracle_sql(num_perms: int = dedup.MINHASH_PERMS,
                         bands: int = dedup.LSH_BANDS,
                         max_bucket: int = 256,
@@ -829,6 +873,7 @@ def _kmeans_oracle_sql(num_centroids: int = 8, iters: int = 2,
 ORACLES: dict[str, str] = {
     **_EXTRACT_ORACLES,
     "q_bpe_token_stats": _bpe_oracle_sql(),
+    "q_hyperplane_lsh_near_dups": _hyperplane_oracle_sql(),
     # day slice of committed results: warc_ts = EPOCH + doc_id minutes
     # (datagen.warc_ts_for), body/status from the mirrored extraction
     # arithmetic — the pruned catalog read must reproduce it exactly
@@ -1249,4 +1294,5 @@ QUERIES = {
     "q_canonical_urls": q_canonical_urls,
     "q_ivf_kmeans_ann_vec1": q_ivf_kmeans_ann_vec1,
     "q_embedding_near_dups": q_embedding_near_dups,
+    "q_hyperplane_lsh_near_dups": q_hyperplane_lsh_near_dups,
 }

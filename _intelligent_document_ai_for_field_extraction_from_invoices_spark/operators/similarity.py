@@ -296,3 +296,108 @@ def ivf_ann_query(emb: DataFrame, query_vec_id: int, k: int = 5,
         .orderBy(F.desc("cos_sim"), F.asc(key))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (sign-projection) LSH — the second bucketing family for
+# embedding near-dup search, next to the IVF path above (task brief:
+# "IVF or LSH-bucketed variant as the scale path"; this engine ships both)
+# ---------------------------------------------------------------------------
+
+HYPERPLANE_PLANES = 16
+HYPERPLANE_BANDS = 4
+
+
+def plane_sign(p: int, j: int) -> int:
+    """Deterministic pseudo-random hyperplane component sign in {+1,-1} —
+    md5 parity of "p,j", so Spark AND the DuckDB oracle unroll the SAME
+    plane matrix as plan-time constants (no RNG, no state to ship)."""
+    import hashlib  # noqa: PLC0415
+
+    return 1 if int(hashlib.md5(f"{p},{j}".encode()  # noqa: S324
+                                ).hexdigest()[0], 16) % 2 == 0 else -1
+
+
+def plane_dot_sql(p: int, dim: int, element: str) -> str:
+    """SQL for <plane_p, v> as an UNROLLED left-associative sum with ±1
+    coefficients. Both engines evaluate the identical addition order on
+    identical doubles, so the sign test (>= 0) is bit-deterministic
+    cross-engine — no rounding needed. `element` formats one 1-indexed
+    vector element access, e.g. 'cast(element_at(embedding, {i}) AS
+    double)' (Spark) or 'CAST(embedding[{i}] AS DOUBLE)' (DuckDB)."""
+    terms = " ".join(
+        f"{'+' if plane_sign(p, j) > 0 else '-'} {element.format(i=j + 1)}"
+        for j in range(dim))
+    return f"(0 {terms})"  # seed 0: exact, and pins left-assoc start
+
+
+def signature_sql(num_planes: int, dim: int, element: str) -> str:
+    """SQL for the packed num_planes-bit signature int."""
+    return " + ".join(
+        f"(CASE WHEN {plane_dot_sql(p, dim, element)} >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes))
+
+
+def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.40,
+                         num_planes: int = HYPERPLANE_PLANES,
+                         bands: int = HYPERPLANE_BANDS,
+                         dim: int = 64, key: str = "vec_id",
+                         vec_col: str = "embedding",
+                         max_bucket: int = 256) -> DataFrame:
+    """Embedding near-dup pairs via banded random-hyperplane LSH: vectors
+    colliding in any band of their sign-projection signature become
+    candidates; candidates are verified by exact cosine >= threshold.
+
+    Scale shape mirrors the text-LSH family: the signature is pure
+    whole-stage codegen (unrolled ±element sums — built as SQL strings,
+    JVM-parsed, same py4j lesson as simhash), the banded explode carries
+    `bands` ints per VECTOR on the shuffle, hot buckets are capped BEFORE
+    the in-bucket pair generation buffers anything (`_cap_hot_keys`), and
+    the verify stage unit-normalizes once per vector so each surviving
+    pair costs one dot-product fold. Recall/cost dial: more planes =
+    fewer false candidates; more bands = higher recall."""
+    from .dedup import _cap_hot_keys  # noqa: PLC0415
+
+    rpb = num_planes // bands
+    mask = (1 << rpb) - 1
+    sig = signature_sql(num_planes, dim,
+                        f"cast(element_at({vec_col}, {{i}}) AS double)")
+    sigs = emb.selectExpr(f"{key} AS k", f"({sig}) AS sig")
+    banded = sigs.selectExpr(
+        "k",
+        f"posexplode(transform(sequence(0, {bands - 1}), "
+        f"b -> shiftright(sig, b * {rpb}) & {mask})) AS (band, bucket)",
+    ).select("k", "band", "bucket")
+    capped = _cap_hot_keys(banded, ["band", "bucket"], max_bucket)
+    buckets = (
+        capped.groupBy("band", "bucket")
+        .agg(F.collect_list("k").alias("ks"))
+        .filter(F.size("ks") >= 2)
+    )
+    cand = buckets.select(
+        F.explode(F.flatten(F.transform(
+            F.col("ks"),
+            lambda x: F.transform(
+                F.filter(F.col("ks"), lambda y: y > x),
+                lambda y: F.struct(x.alias("vec_a"), y.alias("vec_b")),
+            ),
+        ))).alias("p")
+    ).select("p.vec_a", "p.vec_b").distinct()
+    unit = emb.select(
+        F.col(key), _norm(F.col(vec_col)).alias("nrm"), F.col(vec_col)
+    ).select(
+        F.col(key),
+        F.transform(vec_col, lambda x: x.cast("double") / F.col("nrm")
+                    ).alias("uvec"),
+    )
+    unit = register_cache(unit.cache())  # joined on both pair sides
+    return (
+        cand.join(unit.select(F.col(key).alias("vec_a"),
+                              F.col("uvec").alias("ua")), "vec_a")
+        .join(unit.select(F.col(key).alias("vec_b"),
+                          F.col("uvec").alias("ub")), "vec_b")
+        .select("vec_a", "vec_b",
+                F.round(_dot(F.col("ua"), F.col("ub")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "q_knn_cosine_vec0",
     "q_ivf_ann_vec1",
     "q_embedding_near_dups",
+    "q_hyperplane_lsh_near_dups",
     "q_neardup_components",
     "q_top_terms",
     "q_distinct_users",

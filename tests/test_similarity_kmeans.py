@@ -110,3 +110,39 @@ def test_near_dup_pairs_n_hint_skips_count(spark):
     pairs2 = similarity.cosine_near_dup_pairs(emb2, threshold=0.99)
     assert {(r.vec_a, r.vec_b) for r in pairs2.collect()} == got
     similarity.release_caches()
+
+
+def test_hyperplane_lsh_recall_against_bruteforce(spark):
+    """Hyperplane-LSH pairs are a SUBSET of the brute-force >= threshold
+    pairs (verify stage is exact cosine), with non-trivial recall on
+    clustered vectors; identical duplicate vectors always collide (same
+    signature in every band)."""
+    import math
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import similarity
+
+    # two tight clusters + noise: i%2 picks the cluster axis
+    rows = [(i, [1.0 if j == (i % 2) else 0.001 * ((i + j) % 5)
+                 for j in range(64)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.vec_a, r.vec_b): r.cos_sim
+           for r in similarity.hyperplane_lsh_pairs(
+               emb, threshold=0.95, dim=64).collect()}
+    similarity.release_caches()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    brute = {(a, b) for a, va in rows for b, vb in rows
+             if a < b and round(cos(va, vb), 6) >= 0.95}
+    assert set(got) <= brute          # no false positives (exact verify)
+    assert len(got) >= len(brute) // 2  # same-cluster vectors mostly collide
+    # exact duplicates share every band -> always recalled
+    dup = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 64), (3, [-1.0] * 64)],
+        "vec_id long, embedding array<double>")
+    pairs = {(r.vec_a, r.vec_b) for r in similarity.hyperplane_lsh_pairs(
+        dup, threshold=0.99, dim=64).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    similarity.release_caches()
