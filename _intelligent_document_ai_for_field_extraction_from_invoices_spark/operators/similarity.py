@@ -14,13 +14,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import register_cache, release_caches  # shared scoped-cache registry
+from .dedup import _bq, register_cache, release_caches  # shared registry
 
 __all__ = [
     "cosine_knn", "label_centroid_norms", "kmeans_centroids", "ivf_assign",
     "cosine_near_dup_pairs", "ivf_ann_query", "cosine_col", "release_caches",
-    "seed_centroids",
+    "seed_centroids", "hyperplane_lsh_pairs", "plane_sign", "plane_dot_sql",
+    "signature_sql", "HYPERPLANE_PLANES", "HYPERPLANE_BANDS",
 ]
+
+
+def _unit_vectors(emb: DataFrame, key: str, vec_col: str) -> DataFrame:
+    """(key, uvec): vectors normalized ONCE, so every downstream pair
+    cosine is a single dot-product fold — shared by both embedding
+    near-dup paths (IVF and hyperplane-LSH) so precision/guard changes
+    can't desynchronize them."""
+    return emb.select(
+        F.col(_bq(key)), _norm(F.col(_bq(vec_col))).alias("nrm"),
+        F.col(_bq(vec_col))
+    ).select(
+        F.col(_bq(key)),
+        F.transform(F.col(_bq(vec_col)),
+                    lambda x: x.cast("double") / F.col("nrm")).alias("uvec"),
+    )
 
 
 def seed_centroids(emb: DataFrame, num_centroids: int, key: str = "vec_id",
@@ -229,13 +245,7 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
         n = n_hint if n_hint is not None else emb.count()
         num_centroids = max(8, n // 250)
     assign = ivf_assign(emb, num_centroids, key, vec_col)
-    unit = emb.select(
-        F.col(key), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
-    ).select(
-        F.col(key),
-        F.transform(vec_col, lambda x: x.cast("double") / F.col("nrm")
-                    ).alias("uvec"),
-    )
+    unit = _unit_vectors(emb, key, vec_col)
     tagged = unit.join(assign.select(key, "centroid_id"), key)
     tagged = register_cache(tagged.cache())
     a = tagged.select(F.col(key).alias("vec_a"),
@@ -304,7 +314,12 @@ def ivf_ann_query(emb: DataFrame, query_vec_id: int, k: int = 5,
 # "IVF or LSH-bucketed variant as the scale path"; this engine ships both)
 # ---------------------------------------------------------------------------
 
-HYPERPLANE_PLANES = 16
+# 32 planes / 4 bands -> 8-bit bands = 256 buckets per band: at 16 bits
+# (4-bit bands) a few thousand vectors already average past the hot-bucket
+# cap (16 buckets/band), silencing most of the corpus AND paying ~2M
+# verify cosines — measured 4.9 s at sf0.1 vs ~1.5 s with 8-bit bands.
+# More planes = fewer false candidates; more bands = higher recall.
+HYPERPLANE_PLANES = 32
 HYPERPLANE_BANDS = 4
 
 
@@ -333,9 +348,11 @@ def plane_dot_sql(p: int, dim: int, element: str) -> str:
 
 def signature_sql(num_planes: int, dim: int, element: str) -> str:
     """SQL for the packed num_planes-bit signature int."""
+    # BIGINT bit weights: at >= 31 planes the packed signature overflows
+    # a 32-bit int
     return " + ".join(
         f"(CASE WHEN {plane_dot_sql(p, dim, element)} >= 0 "
-        f"THEN {1 << p} ELSE 0 END)"
+        f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for p in range(num_planes))
 
 
@@ -356,14 +373,22 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.40,
     the in-bucket pair generation buffers anything (`_cap_hot_keys`), and
     the verify stage unit-normalizes once per vector so each surviving
     pair costs one dot-product fold. Recall/cost dial: more planes =
-    fewer false candidates; more bands = higher recall."""
+    fewer false candidates; more bands = higher recall. Sizing at corpus
+    scale: buckets per band = 2^(planes/bands), so pick planes/bands such
+    that corpus_size / 2^(planes/bands) stays under max_bucket — the
+    defaults (32/4 -> 256 buckets/band) suit 10^4-10^5 vectors; a 10^12
+    corpus wants 64 planes x 4 bands (65k buckets) plus a larger cap.
+    Fixed cost note: the unrolled signature SQL (planes x dim terms)
+    costs ~1.5 s to JVM-parse + Janino-compile at 32x64 — constant,
+    amortized over corpus size, and the price of bit-identical
+    cross-engine signs (a generic fold would be oracle-risky)."""
     from .dedup import _cap_hot_keys  # noqa: PLC0415
 
     rpb = num_planes // bands
     mask = (1 << rpb) - 1
     sig = signature_sql(num_planes, dim,
-                        f"cast(element_at({vec_col}, {{i}}) AS double)")
-    sigs = emb.selectExpr(f"{key} AS k", f"({sig}) AS sig")
+                        f"cast(element_at({_bq(vec_col)}, {{i}}) AS double)")
+    sigs = emb.selectExpr(f"{_bq(key)} AS k", f"({sig}) AS sig")
     banded = sigs.selectExpr(
         "k",
         f"posexplode(transform(sequence(0, {bands - 1}), "
@@ -384,14 +409,8 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.40,
             ),
         ))).alias("p")
     ).select("p.vec_a", "p.vec_b").distinct()
-    unit = emb.select(
-        F.col(key), _norm(F.col(vec_col)).alias("nrm"), F.col(vec_col)
-    ).select(
-        F.col(key),
-        F.transform(vec_col, lambda x: x.cast("double") / F.col("nrm")
-                    ).alias("uvec"),
-    )
-    unit = register_cache(unit.cache())  # joined on both pair sides
+    unit = register_cache(_unit_vectors(emb, key, vec_col).cache())
+    # cached: joined on both pair sides
     return (
         cand.join(unit.select(F.col(key).alias("vec_a"),
                               F.col("uvec").alias("ua")), "vec_a")

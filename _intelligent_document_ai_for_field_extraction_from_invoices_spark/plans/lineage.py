@@ -33,6 +33,19 @@ from .skew import DEFAULT_SALT
 RESULTS_TABLE = "extracted_text"
 LINEAGE_TABLE = "lineage"
 CHECKPOINT_TABLE = "checkpoint"
+WARC_DAY_COL = "warc_day"
+
+
+def with_warc_day(pages: DataFrame) -> DataFrame | None:
+    """Derive the crawl-day partition column, or None when the pages have
+    no warc_ts. ONE definition shared by the batch pipeline and
+    streaming.extract_stream — the whole point of the shared layout is
+    that batch and streamed results prune identically, which two
+    independent date_format copies would silently break."""
+    if "warc_ts" not in pages.columns:
+        return None
+    return pages.withColumn(
+        WARC_DAY_COL, F.date_format("warc_ts", "yyyy-MM-dd"))
 
 
 def stamp_part_id(pages: DataFrame, num_partitions: int) -> DataFrame:
@@ -94,10 +107,10 @@ def run_extraction(spark: SparkSession, pages: DataFrame, catalog: Catalog,
     # me one day of one crawl" — a manifest-pruned scan instead of a full
     # table scan); warc_day rides through the extraction UDF as a
     # passthrough column so no join-back shuffle is needed
-    partition_results = "warc_ts" in pages.columns
+    dayed = with_warc_day(pages)
+    partition_results = dayed is not None
     if partition_results:
-        pages = pages.withColumn(
-            "warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))
+        pages = dayed
 
     stamped = stamp_part_id(pages, num_partitions)
     done = committed_parts(spark, catalog)

@@ -103,19 +103,26 @@ def stream_to_catalog(spark: SparkSession, pages_dir: str, catalog,
     at-least-once); the txn check makes the replay a no-op, upgrading the
     sink to exactly-once — the same marker discipline as the batch
     pipeline's checkpoint commit (plans/lineage.py). Returns the query."""
+    from ..plans.lineage import WARC_DAY_COL, with_warc_day  # noqa: PLC0415
+
     stream = _stream_reader(spark, pages_dir, files_per_trigger)
-    # same day-partitioned layout as the batch pipeline (plans/lineage.py):
-    # warc_day rides through the extraction UDF so streamed results prune
+    # same day-partitioned layout as the batch pipeline — ONE shared
+    # derivation (plans/lineage.with_warc_day) so streamed results prune
     # identically under the report/read path
-    partitioned = "warc_ts" in stream.columns
+    dayed = with_warc_day(stream)
+    partitioned = dayed is not None
+    if partitioned and catalog.exists(table):
+        # resume guard: a table written by the pre-day-layout sink has no
+        # warc_day column; mixing partitioned and unpartitioned files would
+        # make day-pruned reads drop the old rows (schema sampled from a
+        # new file -> old rows read warc_day=NULL). Match the existing
+        # layout instead.
+        schema = (catalog._read_current(table) or {}).get("schema") or ""
+        partitioned = f'"{WARC_DAY_COL}"' in schema
     passthrough = []
     if partitioned:
-        from pyspark.sql import functions as F  # noqa: PLC0415
-
-        stream = stream.withColumn(
-            "warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))
-        passthrough = [("warc_day", "string")]
-        stream = stream.select("url", "html", "warc_day")
+        stream = dayed.select("url", "html", WARC_DAY_COL)
+        passthrough = [(WARC_DAY_COL, "string")]
     results = extract_pages(stream, num_partitions=num_partitions,
                             passthrough=passthrough)
 
@@ -124,7 +131,7 @@ def stream_to_catalog(spark: SparkSession, pages_dir: str, catalog,
         if catalog.exists(table) and txn in catalog.txns(table):
             return  # replayed micro-batch: already durably committed
         catalog.append(table, df, txn=txn,
-                       partition_by=["warc_day"] if partitioned else None)
+                       partition_by=[WARC_DAY_COL] if partitioned else None)
 
     return (
         results.writeStream.foreachBatch(write_batch)
