@@ -12,6 +12,7 @@ LLM-data-pipeline operators, so the dedup suite runs without writing code:
     ... dedup   --input DIR --output CAT      # exact dedup groups
     ... jaccard --input DIR --output CAT      # n-gram shingle + Jaccard pairs
     ... cc      --input DIR --output CAT      # near-dup clustering (components)
+                [--method shingle|minhash|simhash|embedding|hyperplane]
     ... minhash --input DIR --output CAT      # MinHash-LSH candidate pairs
     ... simhash --input DIR --output CAT      # SimHash near-dup pairs
     ... ann     --input DIR --output CAT --query-vec 1 [--k 5] [--probes 1]
@@ -174,29 +175,49 @@ def cmd_jaccard(spark, args) -> dict:
 
 
 def cmd_cc(spark, args) -> dict:
-    """Near-dup clustering: candidate pairs (any LSH family) -> connected
-    components (doc_id, component_id) -> catalog. With --keep-one, also
+    """Near-dup clustering: candidate pairs (any LSH family — text OR
+    embedding) -> connected components -> catalog. With --keep-one, also
     write the deduplicated corpus (canonical member per cluster +
-    unclustered docs)."""
-    docs = _docs(spark, args)
-    if args.method == "shingle":
-        pairs = dedup_ops.shingle_pairs(docs, n=args.ngram,
-                                        min_shared=args.min_shared)
-    elif args.method == "minhash":
-        pairs = dedup_ops.minhash_lsh_pairs(docs,
-                                            min_est_jaccard=args.min_jaccard)
+    unclustered rows). Text methods cluster the documents table on
+    doc_id; embedding methods cluster the embeddings table on vec_id."""
+    text_method = args.method in ("shingle", "minhash", "simhash")
+    if text_method:
+        src = _docs(spark, args)
+        ka, kb, out_key, dedup_table = "doc_a", "doc_b", "doc_id", \
+            "docs_deduped"
+        if args.method == "shingle":
+            pairs = dedup_ops.shingle_pairs(src, n=args.ngram,
+                                            min_shared=args.min_shared)
+        elif args.method == "minhash":
+            pairs = dedup_ops.minhash_lsh_pairs(
+                src, min_est_jaccard=args.min_jaccard)
+        else:
+            pairs = dedup_ops.simhash_near_dups(
+                src, max_hamming=args.max_hamming)
     else:
-        pairs = dedup_ops.simhash_near_dups(docs,
-                                            max_hamming=args.max_hamming)
-    comps = dedup_ops.connected_components(pairs)
+        src = spark.read.parquet(f"{args.input}/embeddings.parquet")
+        if args.limit is not None:
+            src = src.limit(args.limit)
+        src = src.repartition(spark.sparkContext.defaultParallelism,
+                              "vec_id")
+        ka, kb, out_key, dedup_table = "vec_a", "vec_b", "vec_id", \
+            "embeddings_deduped"
+        if args.method == "embedding":
+            pairs = similarity.cosine_near_dup_pairs(
+                src, threshold=args.min_cosine)
+        else:  # hyperplane
+            pairs = similarity.hyperplane_lsh_pairs(
+                src, threshold=args.min_cosine)
+    comps = dedup_ops.connected_components(pairs, key_a=ka, key_b=kb,
+                                           out_key=out_key)
     cat = Catalog(args.output)
     out = _emit(cat, "neardup_components", comps, args.run_id,
                 release=not args.keep_one)
     if args.keep_one:
         # comps' label/edge caches are still registered, so this reuses the
         # clustering instead of re-running the iterative loop
-        kept = dedup_ops.keep_canonical(docs, comps)
-        out["kept"] = _emit(cat, "docs_deduped", kept, args.run_id)
+        kept = dedup_ops.keep_canonical(src, comps, key=out_key)
+        out["kept"] = _emit(cat, dedup_table, kept, args.run_id)
     return out
 
 
@@ -291,13 +312,19 @@ def main(argv=None) -> None:
 
     p = sub.add_parser("cc", help="near-dup clustering (connected components)")
     _add_common(p)
-    p.add_argument("--method", choices=["shingle", "minhash", "simhash"],
+    p.add_argument("--method",
+                   choices=["shingle", "minhash", "simhash",
+                            "embedding", "hyperplane"],
                    default="shingle",
-                   help="candidate-pair generator feeding the clustering")
+                   help="candidate-pair generator feeding the clustering "
+                        "(text families cluster documents on doc_id; "
+                        "embedding/hyperplane cluster embeddings on vec_id)")
     p.add_argument("--ngram", type=int, default=3)
     p.add_argument("--min-shared", type=int, default=2)
     p.add_argument("--min-jaccard", type=float, default=0.25)
     p.add_argument("--max-hamming", type=int, default=8)
+    p.add_argument("--min-cosine", type=float, default=0.95,
+                   help="cosine threshold for the embedding methods")
     p.add_argument("--keep-one", action="store_true",
                    help="also write docs_deduped: one canonical doc per "
                         "near-dup cluster plus all unclustered docs")

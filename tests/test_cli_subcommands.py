@@ -193,3 +193,24 @@ def test_ann_index_rebuild_replaces_not_appends(spark, tmp_path, capsys):
     out = _run(capsys, "ann", "--input", SF_DIR, "--output", cat_dir,
                "--build-index", "--run-id", "b2")
     assert out["index"]["rows_written"] is None
+
+
+@pytest.mark.parametrize("method", ["embedding", "hyperplane"])
+def test_cc_embedding_methods(spark, tmp_path, capsys, method):
+    """cc --method embedding|hyperplane clusters the embeddings table on
+    vec_id; --keep-one writes embeddings_deduped (canonical per cluster)."""
+    cat_dir = str(tmp_path / "cat")
+    out = _run(capsys, "cc", "--input", SF_DIR, "--output", cat_dir,
+               "--method", method, "--min-cosine", "0.4",
+               "--keep-one", "--run-id", "e1")
+    cat = Catalog(cat_dir)
+    comps = cat.read(spark, "neardup_components").collect()
+    assert out["rows_written"] == len(comps) > 0
+    assert {"vec_id", "component_id"} == set(
+        cat.read(spark, "neardup_components").columns)
+    kept = cat.read(spark, "embeddings_deduped")
+    n_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    clustered = {r.vec_id for r in comps}
+    losers = {r.vec_id for r in comps if r.vec_id != r.component_id}
+    assert kept.count() == n_emb - len(losers)
+    assert clustered  # the synthetic vectors do contain near-dups
