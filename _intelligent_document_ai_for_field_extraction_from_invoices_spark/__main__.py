@@ -56,6 +56,13 @@ def _docs(spark, args):
     return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
+def _emb(spark, args):
+    emb = spark.read.parquet(f"{args.input}/embeddings.parquet")
+    if args.limit is not None:
+        emb = emb.limit(args.limit)
+    return emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+
+
 def _emit(catalog: Catalog, table: str, df, run_id: str,
           release: bool = True, mode: str = "append") -> dict:
     """Write a result table exactly-once per run id and return its stats.
@@ -195,23 +202,28 @@ def cmd_cc(spark, args) -> dict:
             pairs = dedup_ops.simhash_near_dups(
                 src, max_hamming=args.max_hamming)
     else:
-        src = spark.read.parquet(f"{args.input}/embeddings.parquet")
-        if args.limit is not None:
-            src = src.limit(args.limit)
-        src = src.repartition(spark.sparkContext.defaultParallelism,
-                              "vec_id")
+        src = _emb(spark, args)
         ka, kb, out_key, dedup_table = "vec_a", "vec_b", "vec_id", \
             "embeddings_deduped"
+        # --min-cosine defaults to each family's library default (0.95
+        # exact-cosine near-dup, 0.40 hyperplane — the threshold its
+        # banded-recall math and DuckDB oracle are tuned for)
+        thr = args.min_cosine
         if args.method == "embedding":
             pairs = similarity.cosine_near_dup_pairs(
-                src, threshold=args.min_cosine)
+                src, threshold=0.95 if thr is None else thr)
         else:  # hyperplane
             pairs = similarity.hyperplane_lsh_pairs(
-                src, threshold=args.min_cosine)
+                src, threshold=0.40 if thr is None else thr)
     comps = dedup_ops.connected_components(pairs, key_a=ka, key_b=kb,
                                            out_key=out_key)
     cat = Catalog(args.output)
-    out = _emit(cat, "neardup_components", comps, args.run_id,
+    # embedding clusters land in their OWN table: appending a vec_id
+    # schema into the text families' doc_id table would silently corrupt
+    # a shared catalog (schema sampled per file on read)
+    comp_table = ("neardup_components" if text_method
+                  else "vec_neardup_components")
+    out = _emit(cat, comp_table, comps, args.run_id,
                 release=not args.keep_one)
     if args.keep_one:
         # comps' label/edge caches are still registered, so this reuses the
@@ -238,10 +250,7 @@ ANN_INDEX_TABLE = "ann_index"
 
 
 def cmd_ann(spark, args) -> dict:
-    emb = spark.read.parquet(f"{args.input}/embeddings.parquet")
-    if args.limit is not None:
-        emb = emb.limit(args.limit)
-    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    emb = _emb(spark, args)
     cat = Catalog(args.output)
 
     if args.build_index:
@@ -323,11 +332,15 @@ def main(argv=None) -> None:
     p.add_argument("--min-shared", type=int, default=2)
     p.add_argument("--min-jaccard", type=float, default=0.25)
     p.add_argument("--max-hamming", type=int, default=8)
-    p.add_argument("--min-cosine", type=float, default=0.95,
-                   help="cosine threshold for the embedding methods")
+    p.add_argument("--min-cosine", type=float, default=None,
+                   help="cosine threshold for the embedding methods "
+                        "(default: the family's library default — 0.95 "
+                        "for embedding, 0.40 for hyperplane)")
     p.add_argument("--keep-one", action="store_true",
-                   help="also write docs_deduped: one canonical doc per "
-                        "near-dup cluster plus all unclustered docs")
+                   help="also write the deduplicated corpus (docs_deduped "
+                        "for text methods, embeddings_deduped for the "
+                        "embedding ones): one canonical row per cluster "
+                        "plus all unclustered rows")
 
     p = sub.add_parser("minhash", help="MinHash-LSH candidate pairs")
     _add_common(p)

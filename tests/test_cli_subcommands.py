@@ -204,10 +204,10 @@ def test_cc_embedding_methods(spark, tmp_path, capsys, method):
                "--method", method, "--min-cosine", "0.4",
                "--keep-one", "--run-id", "e1")
     cat = Catalog(cat_dir)
-    comps = cat.read(spark, "neardup_components").collect()
+    comps = cat.read(spark, "vec_neardup_components").collect()
     assert out["rows_written"] == len(comps) > 0
     assert {"vec_id", "component_id"} == set(
-        cat.read(spark, "neardup_components").columns)
+        cat.read(spark, "vec_neardup_components").columns)
     kept = cat.read(spark, "embeddings_deduped")
     n_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     clustered = {r.vec_id for r in comps}
