@@ -210,8 +210,11 @@ def cmd_cc(spark, args) -> dict:
         # banded-recall math and DuckDB oracle are tuned for)
         thr = args.min_cosine
         if args.method == "embedding":
+            # --limit makes n known up front: pass it through so auto-C
+            # sizing skips the counting pass (similarity.py n_hint)
             pairs = similarity.cosine_near_dup_pairs(
-                src, threshold=0.95 if thr is None else thr)
+                src, threshold=0.95 if thr is None else thr,
+                n_hint=args.limit)
         else:  # hyperplane
             pairs = similarity.hyperplane_lsh_pairs(
                 src, threshold=0.40 if thr is None else thr)
