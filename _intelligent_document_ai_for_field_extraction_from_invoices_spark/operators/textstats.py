@@ -186,6 +186,11 @@ def bpe_token_counts(df: DataFrame, key: str = "doc_id",
     mg = list(merges or BPE_MERGES)
     ws_re = re.compile(f"[{WS_CHARS}]+")
 
+    # asNondeterministic (it IS deterministic): the filter on the struct
+    # field below would otherwise be pushed beneath the projection and make
+    # Catalyst evaluate the UDF TWICE — once for the filter, once for the
+    # output columns (caught by tests/test_plans.py: two ArrowEvalPython
+    # nodes, doubling the only Python cost this tier has)
     @F.pandas_udf("n_words long, n_bpe_tokens long")
     def _counts(texts: pd.Series) -> pd.DataFrame:
         out_w, out_t = [], []
@@ -207,8 +212,9 @@ def bpe_token_counts(df: DataFrame, key: str = "doc_id",
             out_t.append(nt)
         return pd.DataFrame({"n_words": out_w, "n_bpe_tokens": out_t})
 
+    counts = _counts.asNondeterministic()
     return (
-        df.select(F.col(key), _counts(F.col(text_col)).alias("c"))
+        df.select(F.col(key), counts(F.col(text_col)).alias("c"))
         .select(key, "c.*")
         .filter(F.col("n_words") > 0)  # oracle scope: docs with words
     )

@@ -137,3 +137,41 @@ def test_kmeans_training_plan_is_window_free(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     plan = _plan(similarity.kmeans_centroids(emb, num_centroids=4, iters=1))
     assert "Window" not in plan
+
+
+def test_hyperplane_signatures_fully_native(spark):
+    """The unrolled ±element signature sums must stay JVM-side — no Python
+    eval node anywhere before the exact-cosine verify (which is also
+    native); and the banded self-bucketing must not be a cartesian."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+        dedup, similarity,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(similarity.hyperplane_lsh_pairs(emb, dim=64))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    dedup.release_caches()
+
+
+def test_bpe_tier_is_one_arrow_stage_no_shuffle(spark):
+    """The true-BPE tier pays exactly ONE Arrow-batched Python eval over
+    (key, text) and NO shuffle — the merge loop runs per word inside the
+    batch; an explode/groupBy formulation would shuffle every word."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+        textstats,
+    )
+
+    import re
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(textstats.bpe_token_counts(d))
+    # exactly one Python eval NODE (formatted output names each node once
+    # in the tree and once in the detail section) — a filter on the struct
+    # output would otherwise duplicate the UDF (double the Python cost;
+    # guarded by asNondeterministic in textstats.bpe_token_counts)
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
