@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from . import datagen
 from .operators import dedup as dedup_ops
+from .operators import evaluate as evaluate_ops
 from .operators import similarity
 from .plans import lineage
 from .session import get_spark
@@ -143,6 +144,26 @@ def cmd_report(spark, args) -> dict:
         where = {"warc_day": (">=", args.since)}
     elif args.until:
         where = {"warc_day": ("<=", args.until)}
+    if args.lineage:
+        # run-level report: measured throughput + cost from the lineage
+        # table (A8/A9 — real per-partition UDF wall time, not estimates)
+        lin = cat.read(spark, lineage.LINEAGE_TABLE,
+                       where={"run_id": args.lineage}
+                       if args.lineage != "all" else None)
+        perf = evaluate_ops.performance_metrics(lin).first()
+        cost = evaluate_ops.cost_metrics(lin).agg(
+            F.round(F.sum("est_cost_usd"), 8).alias("usd")).first()
+        return {
+            "lineage": {
+                "runs": sorted(r.run_id for r in
+                               lin.select("run_id").distinct().collect()),
+                "n_docs": perf.n_docs,
+                "docs_per_cpu_sec": perf.docs_per_cpu_sec,
+                "avg_ms_per_doc": perf.avg_ms_per_doc,
+                "est_cost_usd": cost.usd,
+            },
+            "scan": dict(cat.last_scan_stats),
+        }
     res = cat.read(spark, lineage.RESULTS_TABLE, where=where)
     scan = dict(cat.last_scan_stats)
     days = (
@@ -312,6 +333,10 @@ def main(argv=None) -> None:
     p.add_argument("--day", default=None, help="exact crawl day YYYY-MM-DD")
     p.add_argument("--since", default=None, help="first crawl day, inclusive")
     p.add_argument("--until", default=None, help="last crawl day, inclusive")
+    p.add_argument("--lineage", default=None, metavar="RUN_ID",
+                   help="report run-level throughput/cost from the lineage "
+                        "table instead of day slices ('all' = every run; "
+                        "a run id reads only that run's partition)")
     p.add_argument("--cores", default=None)
 
     p = sub.add_parser("dedup", help="exact dedup groups -> catalog")

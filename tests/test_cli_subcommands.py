@@ -214,3 +214,21 @@ def test_cc_embedding_methods(spark, tmp_path, capsys, method):
     losers = {r.vec_id for r in comps if r.vec_id != r.component_id}
     assert kept.count() == n_emb - len(losers)
     assert clustered  # the synthetic vectors do contain near-dups
+
+
+def test_report_lineage_run_metrics(spark, tmp_path, capsys):
+    """report --lineage surfaces measured run throughput/cost from the
+    run_id-partitioned lineage table (pruned read for a single run)."""
+    _run(capsys, "extract", "--input", SF_DIR,
+         "--output", str(tmp_path / "cat"), "--run-id", "r1",
+         "--partitions", "4")
+    out = _run(capsys, "report", "--catalog", str(tmp_path / "cat"),
+               "--lineage", "r1")
+    lin = out["lineage"]
+    assert lin["runs"] == ["r1"]
+    assert lin["n_docs"] == 500
+    assert lin["docs_per_cpu_sec"] > 0 and lin["est_cost_usd"] > 0
+    assert out["scan"]["files_selected"] >= 1
+    out_all = _run(capsys, "report", "--catalog", str(tmp_path / "cat"),
+                   "--lineage", "all")
+    assert out_all["lineage"]["n_docs"] == 500
