@@ -64,6 +64,17 @@ def _emb(spark, args):
     return emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
 
 
+def _emb_n(spark, args) -> int:
+    """Row count of the embeddings input the CLI is about to process —
+    from the RAW parquet (a footer-metadata count, no data scan; counting
+    the repartitioned/limited frame instead would be the full pass n_hint
+    exists to avoid), clamped by --limit. An unclamped --limit passed as
+    n_hint would inflate auto-C past the corpus size and silently collapse
+    near-dup recall to zero (every vector its own centroid)."""
+    n = spark.read.parquet(f"{args.input}/embeddings.parquet").count()
+    return min(n, args.limit) if args.limit is not None else n
+
+
 def _emit(catalog: Catalog, table: str, df, run_id: str,
           release: bool = True, mode: str = "append") -> dict:
     """Write a result table exactly-once per run id and return its stats.
@@ -135,6 +146,9 @@ def cmd_report(spark, args) -> dict:
     cat = Catalog(args.catalog)
     if args.day and (args.since or args.until):
         raise SystemExit("report: --day is exclusive with --since/--until")
+    if args.lineage and (args.day or args.since or args.until):
+        raise SystemExit("report: --lineage is a run-level report; day "
+                         "flags apply to the day-slice report only")
     where = None
     if args.day:
         where = {"warc_day": args.day}
@@ -149,14 +163,19 @@ def cmd_report(spark, args) -> dict:
         # table (A8/A9 — real per-partition UDF wall time, not estimates)
         lin = cat.read(spark, lineage.LINEAGE_TABLE,
                        where={"run_id": args.lineage}
-                       if args.lineage != "all" else None)
+                       if args.lineage != "all" else None).cache()
+        runs = sorted(r.run_id for r in
+                      lin.select("run_id").distinct().collect())
+        if not runs:
+            lin.unpersist()
+            raise SystemExit(f"report: no lineage for run {args.lineage!r}")
         perf = evaluate_ops.performance_metrics(lin).first()
         cost = evaluate_ops.cost_metrics(lin).agg(
             F.round(F.sum("est_cost_usd"), 8).alias("usd")).first()
+        lin.unpersist()
         return {
             "lineage": {
-                "runs": sorted(r.run_id for r in
-                               lin.select("run_id").distinct().collect()),
+                "runs": runs,
                 "n_docs": perf.n_docs,
                 "docs_per_cpu_sec": perf.docs_per_cpu_sec,
                 "avg_ms_per_doc": perf.avg_ms_per_doc,
@@ -231,11 +250,12 @@ def cmd_cc(spark, args) -> dict:
         # banded-recall math and DuckDB oracle are tuned for)
         thr = args.min_cosine
         if args.method == "embedding":
-            # --limit makes n known up front: pass it through so auto-C
-            # sizing skips the counting pass (similarity.py n_hint)
+            # n is known up front (footer-metadata count clamped by
+            # --limit): auto-C sizing skips the post-repartition counting
+            # pass (similarity.py n_hint)
             pairs = similarity.cosine_near_dup_pairs(
                 src, threshold=0.95 if thr is None else thr,
-                n_hint=args.limit)
+                n_hint=_emb_n(spark, args))
         else:  # hyperplane
             pairs = similarity.hyperplane_lsh_pairs(
                 src, threshold=0.40 if thr is None else thr)

@@ -232,3 +232,21 @@ def test_report_lineage_run_metrics(spark, tmp_path, capsys):
     out_all = _run(capsys, "report", "--catalog", str(tmp_path / "cat"),
                    "--lineage", "all")
     assert out_all["lineage"]["n_docs"] == 500
+
+
+def test_report_lineage_flag_guards(tmp_path, capsys):
+    with pytest.raises(SystemExit, match="run-level"):
+        _run(capsys, "report", "--catalog", str(tmp_path),
+             "--lineage", "all", "--day", "2025-01-01")
+
+
+def test_cc_embedding_oversized_limit_still_finds_pairs(spark, tmp_path,
+                                                        capsys):
+    """Review regression: --limit larger than the corpus must not inflate
+    auto-C past n (which would make every vector its own centroid and
+    silently report zero clusters)."""
+    out = _run(capsys, "cc", "--input", SF_DIR,
+               "--output", str(tmp_path / "cat"),
+               "--method", "embedding", "--min-cosine", "0.4",
+               "--limit", "1000000", "--run-id", "big")
+    assert out["rows_written"] > 0
