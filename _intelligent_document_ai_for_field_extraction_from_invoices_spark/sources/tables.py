@@ -210,6 +210,9 @@ class Catalog:
         # stats of the most recent scan_files call, for plan assertions:
         # {"manifests_total", "manifests_opened", "files_selected"}
         self.last_scan_stats: dict[str, int] = {}
+        # stats of the most recent txns() call, for the O(1)-replay-check
+        # assertion (tests/test_tables_resume.py): {"meta_files_opened"}
+        self.last_txn_stats: dict[str, int] = {}
 
     # -- paths --------------------------------------------------------------
     def _tdir(self, table: str) -> str:
@@ -223,10 +226,14 @@ class Catalog:
 
     # -- manifest plumbing --------------------------------------------------
     def _write_manifest(self, table: str, rows: list[dict],
-                        txns: list[str | None]) -> dict:
+                        txns: list[str | None],
+                        op: str = "append") -> dict:
         """Write one manifest file and return its manifest-LIST entry.
         `rows` = [{"path": ..., "partition": {col: str} | None,
-                   "txn": str | None}]."""
+                   "txn": str | None}]. `op` records the originating
+        operation so rollback surgery can distinguish append commits
+        (rollback candidates) from overwrite commits (replace semantics —
+        e.g. an ANN index rebuild — never rolled back by txn absence)."""
         meta = self._meta(table)
         os.makedirs(meta, exist_ok=True)
         path = os.path.join(meta, f"m-{uuid.uuid4().hex}.json")
@@ -236,6 +243,7 @@ class Catalog:
             "manifest": path,
             "n_files": len(rows),
             "txns": sorted({t for t in txns if t}),
+            "op": op,
             "summary": _build_summary(rows),
         }
 
@@ -249,7 +257,12 @@ class Catalog:
         """Fold accumulated small manifests into one (Iceberg's
         commit.manifest.min-count-to-merge) so the manifest list — and with
         it the snapshot json — stays bounded across unbounded appends."""
-        small = [e for e in entries if e["n_files"] < SMALL_MANIFEST]
+        # only append-originated manifests merge: folding an overwrite
+        # entry in would erase the op provenance rollback surgery keys on
+        # (legacy entries without "op" are appends — overwrite tagging and
+        # op recording shipped together)
+        small = [e for e in entries if e["n_files"] < SMALL_MANIFEST
+                 and e.get("op", "append") == "append"]
         if len(small) < MERGE_MIN:
             return entries
         rows: list[dict] = []
@@ -272,7 +285,8 @@ class Catalog:
 
     def _commit(self, table: str, manifests: list[dict], operation: str,
                 parent: int | None, txn: str | None = None,
-                schema: str | None = None) -> int:
+                schema: str | None = None,
+                all_txns: set[str] | None = None) -> int:
         meta = self._meta(table)
         os.makedirs(meta, exist_ok=True)
         version = (parent or 0) + 1
@@ -283,6 +297,11 @@ class Catalog:
             "manifests": manifests,
             "txn": txn,
             "schema": schema,
+            # Iceberg-like cumulative txn summary: the CURRENT snapshot knows
+            # every txn tag ever committed, so the exactly-once replay check
+            # (txns()) is O(1) metadata file opens instead of walking every
+            # historical version json — which streaming calls per micro-batch
+            "all_txns": sorted((all_txns or set()) | ({txn} if txn else set())),
             "committed_at": time.time(),
         }
         with open(os.path.join(meta, f"v{version}.json"), "w") as f:
@@ -340,10 +359,13 @@ class Catalog:
     def exists(self, table: str) -> bool:
         return self._read_current(table) is not None
 
-    def snapshots(self, table: str) -> list[dict]:
-        """All snapshots, oldest first, with the resolved file list attached
-        under "files" (a debug/test convenience — the resolution opens every
-        manifest, which is exactly what the scan path avoids)."""
+    def snapshots(self, table: str, with_files: bool = False) -> list[dict]:
+        """All retained snapshots, oldest first (vacuum may have expired
+        older version jsons into _history.json). `with_files=True` attaches
+        the resolved file list under "files" — a debug/test convenience that
+        opens EVERY manifest of every snapshot, exactly what the scan and
+        replay-check paths avoid; default off so no metadata-only caller
+        pays O(history manifests) by accident."""
         meta = self._meta(table)
         if not os.path.isdir(meta):
             return []
@@ -352,7 +374,8 @@ class Catalog:
             if fn.startswith("v") and fn.endswith(".json"):
                 with open(os.path.join(meta, fn)) as f:
                     snap = self._upgrade_snap(json.load(f))
-                snap["files"] = self._snap_files(snap, missing_ok=True)
+                if with_files:
+                    snap["files"] = self._snap_files(snap, missing_ok=True)
                 out.append(snap)
         return sorted(out, key=lambda s: s["version"])
 
@@ -405,10 +428,11 @@ class Catalog:
         rebuild) get the same exactly-once replay detection via txns()."""
         rows = self._stage(table, df, partition_by, txn=txn)
         cur = self._read_current(table)
-        entry = self._write_manifest(table, rows, [txn])
+        entry = self._write_manifest(table, rows, [txn], op="overwrite")
         return self._commit(table, [entry], "overwrite",
                             cur["version"] if cur else None, txn=txn,
-                            schema=df.schema.json())
+                            schema=df.schema.json(),
+                            all_txns=self._parent_txns(table, cur))
 
     def append(self, table: str, df: DataFrame, txn: str | None = None,
                partition_by: list[str] | None = None) -> int:
@@ -427,17 +451,53 @@ class Catalog:
         return self._commit(table, entries, "append",
                             cur["version"] if cur else None, txn=txn,
                             schema=(cur or {}).get("schema")
-                            or df.schema.json())
+                            or df.schema.json(),
+                            all_txns=self._parent_txns(table, cur))
 
-    def txns(self, table: str) -> set[str]:
-        """Transaction tags of all snapshots ever committed to `table`."""
+    def _parent_txns(self, table: str, cur: dict | None) -> set[str]:
+        """Cumulative txn set to chain into a child commit. Read from the
+        parent snapshot's `all_txns` summary (O(1)); a legacy parent written
+        before the summary existed pays ONE O(versions) upgrade scan reading
+        only the per-version `txn` field (no manifest resolution), and every
+        later commit carries the summary forward."""
+        if cur is None:
+            return set()
+        if "all_txns" in cur:
+            return set(cur["all_txns"])
         return {s["txn"] for s in self.snapshots(table) if s.get("txn")}
 
+    def txns(self, table: str) -> set[str]:
+        """Transaction tags of all snapshots ever committed to `table` —
+        including ones whose version metadata vacuum has since expired.
+
+        O(1) metadata file opens (the _current pointer + the current
+        snapshot's cumulative `all_txns` summary). This runs on EVERY
+        streaming micro-batch and CLI run as the exactly-once replay check,
+        so it must not walk table history: the round-4 implementation opened
+        every version json AND resolved each one's manifests, O(batches x
+        versions x manifests) over a stream's life. `last_txn_stats` records
+        the opens for the flat-cost assertion in tests/test_tables_resume."""
+        cur = self._read_current(table)
+        if cur is None:
+            self.last_txn_stats = {"meta_files_opened": 2}
+            return set()
+        if "all_txns" in cur:
+            self.last_txn_stats = {"meta_files_opened": 2}
+            return set(cur["all_txns"])
+        # legacy table (pre-summary): per-version txn fields, no manifests
+        snaps = self.snapshots(table)
+        self.last_txn_stats = {"meta_files_opened": 2 + len(snaps)}
+        return {s["txn"] for s in snaps if s.get("txn")}
+
     def remove_orphan_appends(self, table: str, live_txns: set[str]) -> int:
-        """Drop the files added by tagged appends whose txn is not in
+        """Drop the files added by tagged APPENDS whose txn is not in
         `live_txns` (i.e. the crash happened before the txn's marker commit).
-        Untagged snapshots are always kept. Returns the number of files
-        removed; commits one 'rollback' snapshot iff anything was removed.
+        Untagged snapshots are always kept, and so are overwrite-originated
+        manifests (each entry records its `op`): an overwrite's txn exists
+        for replay detection only — rolling back a live index rebuild
+        because its txn is outside some OTHER writer's marker set would
+        drop a live table. Returns the number of files removed; commits one
+        'rollback' snapshot iff anything was removed.
 
         Manifest-level surgery: an all-dead manifest is dropped from the
         list; a manifest the merge step mixed (dead + live txns) is
@@ -450,6 +510,9 @@ class Catalog:
         n_removed = 0
         changed = False
         for e in cur["manifests"]:
+            if e.get("op", "append") != "append":
+                keep_entries.append(e)  # overwrite commit: never a rollback
+                continue                # candidate (docstring contract)
             txns = set(e.get("txns") or [])
             dead = {t for t in txns if t not in live_txns}
             if not dead:
@@ -469,16 +532,23 @@ class Catalog:
                     table, live_rows, [r.get("txn") for r in live_rows]))
         if changed and n_removed:
             self._commit(table, keep_entries, "rollback", cur["version"],
-                         schema=cur.get("schema"))
+                         schema=cur.get("schema"),
+                         all_txns=self._parent_txns(table, cur))
         return n_removed
 
     def vacuum(self, table: str, keep_versions: int = 1) -> int:
         """Delete data files not referenced by the newest `keep_versions`
         snapshots (Iceberg's expire-snapshots + orphan-file GC analogue —
         reclaims the files left behind by `remove_orphan_appends` rollbacks
-        and by overwrites), plus manifest files no kept snapshot references.
-        Snapshot jsons for expired versions stay (cheap audit trail); only
-        their exclusive data/manifest files go. Returns data files deleted."""
+        and by overwrites), plus manifest files no kept snapshot references,
+        plus the expired versions' v<N>.json metadata itself — each expired
+        snapshot leaves one summary line in `_meta/_history.json` (version,
+        operation, txn, committed_at), so the audit trail survives at O(1)
+        bytes per commit while the _meta dir stays bounded across unbounded
+        append+vacuum cycles (a streaming sink's life is 10^5+ commits;
+        keeping every version json made every listdir-based call pay for
+        all of them). Time travel reaches the retained versions only.
+        Returns data files deleted."""
         snaps = self.snapshots(table)
         if not snaps:
             return 0
@@ -546,6 +616,37 @@ class Catalog:
                 p = os.path.join(meta, fn)
                 if os.path.realpath(p) not in keep_manifests:
                     os.remove(p)
+        # expired version jsons: everything older than the newest
+        # keep_versions (and never _current's version), compacted to one
+        # history line each. Cumulative txn summaries ride in the CURRENT
+        # snapshot (all_txns), so expiry cannot break the exactly-once
+        # replay check for old txns.
+        keep_v = {s["version"] for s in snaps[-keep_versions:]}
+        if cur:
+            keep_v.add(cur["version"])
+        # legacy guard: a table whose current snapshot predates the
+        # all_txns summary must keep its version jsons — they are the only
+        # record of historical txns, and expiring them would let a replayed
+        # streaming batch re-append (exactly-once violation). The first
+        # post-upgrade commit writes the summary and expiry starts working.
+        if cur is not None and "all_txns" not in cur:
+            keep_v.update(s["version"] for s in snaps)
+        expired = [s for s in snaps if s["version"] not in keep_v]
+        if expired:
+            hist = os.path.join(meta, "_history.json")
+            with open(hist, "a") as f:
+                for s in expired:
+                    f.write(json.dumps({
+                        "version": s["version"],
+                        "operation": s.get("operation"),
+                        "txn": s.get("txn"),
+                        "committed_at": s.get("committed_at"),
+                        "n_manifests": len(s.get("manifests") or []),
+                    }) + "\n")
+            for s in expired:
+                vpath = os.path.join(meta, f"v{s['version']}.json")
+                if os.path.exists(vpath):
+                    os.remove(vpath)
         return n
 
     def scan_files(self, table: str, *, where: dict | None = None,

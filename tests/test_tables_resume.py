@@ -180,6 +180,93 @@ def test_vacuum_reclaims_expired_and_orphaned_files(spark, tmp_path):
     assert cat.vacuum("t") == 0
 
 
+def test_txn_check_metadata_opens_stay_flat(spark, tmp_path):
+    """The exactly-once replay check (txns()) runs per streaming micro-batch
+    and per CLI run; its metadata cost must be O(1) file opens no matter how
+    many commits the table has seen — NOT a walk of every version json, let
+    alone every manifest (the round-4 regression class). 200 commits stand
+    in for a stream's life; the committed txn set stays exact throughout."""
+    cat = Catalog(str(tmp_path))
+    df = spark.range(2)
+    costs = []
+    for b in range(200):
+        txn = f"stream:t:{b}"
+        assert txn not in cat.txns("t") if cat.exists("t") else True
+        cat.append("t", df, txn=txn)
+        got = cat.txns("t")
+        costs.append(cat.last_txn_stats["meta_files_opened"])
+        assert got == {f"stream:t:{i}" for i in range(b + 1)}
+    assert max(costs) == min(costs) == 2  # _current + current snapshot only
+
+
+def test_txns_survive_version_expiry(spark, tmp_path):
+    """vacuum expires old v<N>.json metadata, but the cumulative all_txns
+    summary in the current snapshot keeps the replay check exact — a
+    replayed batch whose version json was expired must still be a no-op."""
+    import os
+
+    cat = Catalog(str(tmp_path))
+    for b in range(30):
+        cat.append("t", spark.range(2), txn=f"b:{b}")
+        cat.vacuum("t", keep_versions=2)
+    meta = os.path.join(str(tmp_path), "t", "_meta")
+    n_versions = len([f for f in os.listdir(meta)
+                      if f.startswith("v") and f.endswith(".json")])
+    assert n_versions <= 3  # keep_versions + current, never the full history
+    assert cat.txns("t") == {f"b:{i}" for i in range(30)}
+    # history compaction: one line per expired version
+    hist = os.path.join(meta, "_history.json")
+    assert os.path.exists(hist)
+    with open(hist) as f:
+        lines = [l for l in f.read().splitlines() if l.strip()]
+    assert len(lines) >= 25
+    # _meta total file count is bounded (manifest merge + version expiry)
+    assert len(os.listdir(meta)) < 40
+    # current data unaffected
+    assert cat.read(spark, "t").count() == 60
+
+
+def test_meta_dir_bounded_across_append_vacuum_cycles(spark, tmp_path):
+    """100 append+vacuum cycles: the _meta file count must stay flat (the
+    round-4 layout kept every v<N>.json forever) and time travel within
+    keep_versions must still work."""
+    import os
+
+    cat = Catalog(str(tmp_path))
+    sizes = []
+    meta = os.path.join(str(tmp_path), "t", "_meta")
+    for b in range(100):
+        cat.append("t", spark.range(1), txn=f"c:{b}")
+        cat.vacuum("t", keep_versions=3)
+        sizes.append(len(os.listdir(meta)))
+    # bounded: steady state (the manifest-merge tiers take ~30 cycles to
+    # fill) never exceeds a flat ceiling, and shows no growth trend over
+    # the back half — the round-4 layout would be >100 version jsons alone
+    assert max(sizes) < 40
+    assert max(sizes[80:]) <= max(sizes[30:80])
+    # time travel within the retained window still resolves
+    cur_v = cat._read_current("t")["version"]
+    retained = [s["version"] for s in cat.snapshots("t")]
+    assert cur_v in retained
+    assert cat.read(spark, "t", version=retained[-2]).count() == 99
+    assert cat.read(spark, "t").count() == 100
+
+
+def test_rollback_never_touches_overwrite_commits(spark, tmp_path):
+    """ADVICE regression: remove_orphan_appends must only roll back
+    APPEND-originated manifests. An overwrite's txn (replay detection for
+    index rebuilds) outside the live set must not drop the live table."""
+    cat = Catalog(str(tmp_path))
+    cat.overwrite("idx", spark.range(10), txn="cli:idx:rebuild-1")
+    cat.append("idx", spark.range(10, 12), txn="dead-append")
+    # a caller reconciling against an unrelated marker table passes a live
+    # set that contains NEITHER txn: only the append may be rolled back
+    removed = cat.remove_orphan_appends("idx", live_txns=set())
+    assert removed > 0
+    assert sorted(r.id for r in cat.read(spark, "idx").collect()) == \
+        list(range(10))
+
+
 def test_vacuum_removes_crc_sidecars_and_success_markers(spark, tmp_path):
     """When vacuum deletes a parquet file it must also delete its Hadoop
     .crc sidecar; a staging dir left with zero data files loses its _SUCCESS
@@ -188,7 +275,7 @@ def test_vacuum_removes_crc_sidecars_and_success_markers(spark, tmp_path):
 
     cat = Catalog(str(tmp_path))
     cat.overwrite("t", spark.range(10))
-    v1 = cat.snapshots("t")[-1]["files"]
+    v1 = cat.snapshots("t", with_files=True)[-1]["files"]
     cat.append("t", spark.range(10, 13))  # second staging dir, still live
     cat.overwrite("t", spark.range(5))    # everything before now expired
     cat.vacuum("t")
