@@ -109,6 +109,15 @@ def run_extraction(spark: SparkSession, pages: DataFrame, catalog: Catalog,
     # passthrough column so no join-back shuffle is needed
     dayed = with_warc_day(pages)
     partition_results = dayed is not None
+    if partition_results and catalog.exists(RESULTS_TABLE):
+        # resume guard (same as streaming.extract_stream's): a results table
+        # written by the pre-day-layout pipeline has no warc_day column, and
+        # mixing partitioned and unpartitioned files would make day-pruned
+        # reads silently drop the old rows (read() samples schema from one
+        # file -> old rows surface warc_day=NULL). Match the existing layout.
+        schema = (catalog._read_current(RESULTS_TABLE) or {}).get("schema") \
+            or ""
+        partition_results = f'"{WARC_DAY_COL}"' in schema
     if partition_results:
         pages = dayed
 

@@ -130,6 +130,29 @@ def test_resume_after_torn_transaction(spark, pages, tmp_path):
     assert sorted({r.part_id for r in lin}) == list(range(8))
 
 
+def test_resume_into_pre_day_layout_table(spark, pages, tmp_path):
+    """ADVICE regression: resuming into a results table written by the
+    pre-day-partitioned pipeline (no warc_day column) must match the
+    EXISTING layout — mixing files with and without warc_day would make
+    day-pruned reads silently drop the old rows."""
+    legacy_pages = pages.drop("warc_ts")  # pre-day pipeline had no crawl ts
+    cat = Catalog(str(tmp_path))
+    lineage.run_extraction(spark, legacy_pages, cat, "run-old",
+                           num_partitions=8, fail_after_parts=3)
+    assert "warc_day" not in cat.read(spark, lineage.RESULTS_TABLE).columns
+
+    # resume with day-carrying pages: the guard must fall back to the
+    # legacy unpartitioned layout instead of mixing schemas
+    s2 = lineage.run_extraction(spark, pages, cat, "run-new",
+                                num_partitions=8)
+    assert s2["parts_done"] == 5 and s2["parts_skipped"] == 3
+    res = cat.read(spark, lineage.RESULTS_TABLE)
+    assert "warc_day" not in res.columns
+    assert res.count() == pages.count()
+    urls = [r.url for r in res.select("url").collect()]
+    assert len(urls) == len(set(urls))  # no dropped or duplicated rows
+
+
 def test_lineage_carries_measured_wall_ms(spark, pages, tmp_path):
     """A8: run_extraction records REAL per-partition extraction wall time
     (not byte estimates); cost + throughput metrics consume it."""
