@@ -20,7 +20,8 @@ __all__ = [
     "cosine_knn", "label_centroid_norms", "kmeans_centroids", "ivf_assign",
     "cosine_near_dup_pairs", "ivf_ann_query", "cosine_col", "release_caches",
     "seed_centroids", "hyperplane_lsh_pairs", "plane_sign", "plane_dot_sql",
-    "signature_sql", "HYPERPLANE_PLANES", "HYPERPLANE_BANDS",
+    "signature_sql", "hyperplane_banded_buckets",
+    "HYPERPLANE_PLANES", "HYPERPLANE_BANDS", "HYPERPLANE_SQL_TERM_LIMIT",
 ]
 
 
@@ -356,44 +357,148 @@ def signature_sql(num_planes: int, dim: int, element: str) -> str:
         for p in range(num_planes))
 
 
+# above this many planes x dim terms the unrolled signature SQL stops being
+# viable: one projection expression hits JVM parse + Janino compile walls
+# (Janino's 64 KB method limit forces interpreted fallback well before real
+# embedding dims — 768 x 64 planes would be ~49k terms), so the batched
+# matmul tier takes over. The bench/oracle shape (32 x 64 = 2048) stays SQL
+# for bit-deterministic cross-engine signs.
+HYPERPLANE_SQL_TERM_LIMIT = 4096
+
+
+def _plane_matrix(num_planes: int, dim: int):
+    """The ±1 plane matrix as float64 — SAME md5-parity entries as the
+    unrolled SQL (plane_sign), so both tiers project against identical
+    planes."""
+    import numpy as np  # noqa: PLC0415
+
+    return np.array([[plane_sign(p, j) for j in range(dim)]
+                     for p in range(num_planes)], dtype=np.float64)
+
+
+def _corpus_dim(emb: DataFrame, vec_col: str) -> int:
+    row = emb.select(F.size(_bq(vec_col)).alias("d")).first()
+    if row is None or row.d is None or row.d <= 0:
+        raise ValueError("cannot derive embedding dim: empty corpus or "
+                         f"null {vec_col!r} in the sampled row")
+    return row.d
+
+
+def hyperplane_banded_buckets(emb: DataFrame, num_planes: int, bands: int,
+                              dim: int, key: str, vec_col: str,
+                              engine: str = "auto") -> DataFrame:
+    """(k, band, bucket) banded sign-projection buckets, two tiers:
+
+    - "sql": the planes x dim ±element terms unrolled into ONE whole-stage
+      codegen expression — bit-deterministic cross-engine (the DuckDB
+      oracle unrolls the identical sum), but with a JVM-parse/Janino
+      compile wall at real embedding dims.
+    - "pandas": one batched NumPy sign(V @ P.T) matmul per Arrow batch —
+      the scale tier for real dims (768+), same md5-parity plane matrix.
+      Per-band buckets are packed directly from the sign bits, so 64-plane
+      signatures never round-trip through a signed BIGINT.
+
+    "auto" picks by HYPERPLANE_SQL_TERM_LIMIT. The two tiers agree except
+    where a plane dot lands within float addition-order noise of exactly
+    0 (left-associative sum vs pairwise matmul) — measure-zero for real
+    embeddings; the oracle gate always runs the sql tier."""
+    rpb = num_planes // bands
+    mask = (1 << rpb) - 1
+    if engine == "auto":
+        engine = ("sql" if num_planes * dim <= HYPERPLANE_SQL_TERM_LIMIT
+                  else "pandas")
+    if engine == "sql":
+        sig = signature_sql(
+            num_planes, dim,
+            f"cast(element_at({_bq(vec_col)}, {{i}}) AS double)")
+        sigs = emb.selectExpr(f"{_bq(key)} AS k", f"({sig}) AS sig")
+        return sigs.selectExpr(
+            "k",
+            f"posexplode(transform(sequence(0, {bands - 1}), "
+            f"b -> shiftright(sig, b * {rpb}) & {mask})) AS (band, bucket)",
+        ).select("k", "band", "bucket")
+    if engine != "pandas":
+        raise ValueError(f"unknown hyperplane engine: {engine!r}")
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    plane_t = _plane_matrix(num_planes, dim).T  # (dim, planes)
+    weights = 1 << np.arange(rpb, dtype=np.int64)  # bit weights within a band
+
+    def _buckets(vs):
+        # vectors arrive as ndarray/list cells; a ragged batch (mixed dims
+        # shorter than the plane matrix) must fail loudly, not silently
+        # zero-bucket (ADVICE: element_at past the end is NULL in the SQL
+        # tier — here we raise instead)
+        mat = np.empty((len(vs), dim), dtype=np.float64)
+        for i, v in enumerate(vs):
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape[0] < dim:
+                raise ValueError(
+                    f"embedding dim {a.shape[0]} < hyperplane dim {dim}")
+            mat[i] = a[:dim]
+        bits = (mat @ plane_t) >= 0.0  # (n, planes)
+        cols = [bits[:, b * rpb:(b + 1) * rpb].astype(np.int64) @ weights
+                for b in range(bands)]
+        return pd.Series(list(np.stack(cols, axis=1).astype(np.int32)))
+
+    # the module's `from __future__ import annotations` would stringify
+    # inline hints against globals that don't hold pd; real objects keep
+    # pandas_udf's Series->Series inference working
+    _buckets.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    _buckets = pandas_udf(_buckets, "array<int>")
+
+    return emb.select(
+        F.col(_bq(key)).alias("k"),
+        F.posexplode(_buckets(F.col(_bq(vec_col)))).alias("band", "bucket"),
+    )
+
+
 def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.40,
                          num_planes: int = HYPERPLANE_PLANES,
                          bands: int = HYPERPLANE_BANDS,
-                         dim: int = 64, key: str = "vec_id",
+                         dim: int | None = None, key: str = "vec_id",
                          vec_col: str = "embedding",
-                         max_bucket: int = 256) -> DataFrame:
+                         max_bucket: int = 256,
+                         engine: str = "auto") -> DataFrame:
     """Embedding near-dup pairs via banded random-hyperplane LSH: vectors
     colliding in any band of their sign-projection signature become
     candidates; candidates are verified by exact cosine >= threshold.
 
-    Scale shape mirrors the text-LSH family: the signature is pure
-    whole-stage codegen (unrolled ±element sums — built as SQL strings,
-    JVM-parsed, same py4j lesson as simhash), the banded explode carries
-    `bands` ints per VECTOR on the shuffle, hot buckets are capped BEFORE
-    the in-bucket pair generation buffers anything (`_cap_hot_keys`), and
-    the verify stage unit-normalizes once per vector so each surviving
-    pair costs one dot-product fold. Recall/cost dial: more planes =
-    fewer false candidates; more bands = higher recall. Sizing at corpus
-    scale: buckets per band = 2^(planes/bands), so pick planes/bands such
-    that corpus_size / 2^(planes/bands) stays under max_bucket — the
-    defaults (32/4 -> 256 buckets/band) suit 10^4-10^5 vectors; a 10^12
-    corpus wants 64 planes x 4 bands (65k buckets) plus a larger cap.
-    Fixed cost note: the unrolled signature SQL (planes x dim terms)
-    costs ~1.5 s to JVM-parse + Janino-compile at 32x64 — constant,
-    amortized over corpus size, and the price of bit-identical
-    cross-engine signs (a generic fold would be oracle-risky)."""
+    `dim=None` derives the projection dim from the corpus (one sampled
+    row); an explicit `dim` larger than the corpus dim raises instead of
+    silently collapsing every vector into bucket 0 (in the SQL tier,
+    element_at past the array end is NULL, the plane dot goes NULL, and
+    every sign bit reads 0 — a near-empty result with no error).
+
+    Scale shape mirrors the text-LSH family: signatures come from
+    `hyperplane_banded_buckets` (whole-stage-codegen unrolled sums at
+    oracle dims, ONE batched NumPy matmul per Arrow batch past
+    HYPERPLANE_SQL_TERM_LIMIT — no per-row Python either way), the banded
+    explode carries `bands` ints per VECTOR on the shuffle, hot buckets
+    are capped BEFORE the in-bucket pair generation buffers anything
+    (`_cap_hot_keys`), and the verify stage unit-normalizes once per
+    vector so each surviving pair costs one dot-product fold. Recall/cost
+    dial: more planes = fewer false candidates; more bands = higher
+    recall. Sizing at corpus scale: buckets per band = 2^(planes/bands),
+    so pick planes/bands such that corpus_size / 2^(planes/bands) stays
+    under max_bucket — the defaults (32/4 -> 256 buckets/band) suit
+    10^4-10^5 vectors; a 10^12 corpus wants 64 planes x 4 bands (65k
+    buckets) plus a larger cap — real-dim 768 x 64-plane signatures run
+    on the matmul tier, which has no compile wall."""
     from .dedup import _cap_hot_keys  # noqa: PLC0415
 
-    rpb = num_planes // bands
-    mask = (1 << rpb) - 1
-    sig = signature_sql(num_planes, dim,
-                        f"cast(element_at({_bq(vec_col)}, {{i}}) AS double)")
-    sigs = emb.selectExpr(f"{_bq(key)} AS k", f"({sig}) AS sig")
-    banded = sigs.selectExpr(
-        "k",
-        f"posexplode(transform(sequence(0, {bands - 1}), "
-        f"b -> shiftright(sig, b * {rpb}) & {mask})) AS (band, bucket)",
-    ).select("k", "band", "bucket")
+    corpus_dim = _corpus_dim(emb, vec_col)
+    if dim is None:
+        dim = corpus_dim
+    elif dim > corpus_dim:
+        raise ValueError(
+            f"hyperplane dim {dim} exceeds corpus embedding dim "
+            f"{corpus_dim}; pass dim<={corpus_dim} or dim=None to derive")
+    banded = hyperplane_banded_buckets(emb, num_planes, bands, dim,
+                                       key, vec_col, engine=engine)
     capped = _cap_hot_keys(banded, ["band", "bucket"], max_bucket)
     buckets = (
         capped.groupBy("band", "bucket")

