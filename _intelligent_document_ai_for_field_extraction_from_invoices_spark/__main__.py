@@ -228,6 +228,8 @@ def cmd_cc(spark, args) -> dict:
     unclustered rows). Text methods cluster the documents table on
     doc_id; embedding methods cluster the embeddings table on vec_id."""
     text_method = args.method in ("shingle", "minhash", "simhash")
+    if getattr(args, "index", None) and args.method != "embedding":
+        raise SystemExit("cc: --index applies to --method embedding only")
     if text_method:
         src = _docs(spark, args)
         ka, kb, out_key, dedup_table = "doc_a", "doc_b", "doc_id", \
@@ -250,12 +252,21 @@ def cmd_cc(spark, args) -> dict:
         # banded-recall math and DuckDB oracle are tuned for)
         thr = args.min_cosine
         if args.method == "embedding":
+            assign = None
+            if getattr(args, "index", None):
+                # persisted-index path: reuse the ann --build-index bucket
+                # assignment instead of recomputing the full-corpus
+                # centroid scan per clustering run
+                idx_cat = Catalog(args.output) if args.index is True \
+                    else Catalog(args.index)
+                assign = idx_cat.read(spark, ANN_INDEX_TABLE)
             # n is known up front (footer-metadata count clamped by
             # --limit): auto-C sizing skips the post-repartition counting
-            # pass (similarity.py n_hint)
+            # pass (similarity.py n_hint); moot on the --index path
             pairs = similarity.cosine_near_dup_pairs(
                 src, threshold=0.95 if thr is None else thr,
-                n_hint=_emb_n(spark, args))
+                n_hint=None if assign is not None else _emb_n(spark, args),
+                assign=assign)
         else:  # hyperplane
             pairs = similarity.hyperplane_lsh_pairs(
                 src, threshold=0.40 if thr is None else thr)
@@ -389,6 +400,13 @@ def main(argv=None) -> None:
                         "for text methods, embeddings_deduped for the "
                         "embedding ones): one canonical row per cluster "
                         "plus all unclustered rows")
+    p.add_argument("--index", nargs="?", const=True, default=None,
+                   metavar="CATALOG_DIR",
+                   help="(--method embedding) cluster using a persisted IVF "
+                        "bucket assignment (the ann_index table a prior "
+                        "`ann --build-index` wrote) instead of recomputing "
+                        "it; reads the output catalog unless a directory "
+                        "is given")
 
     p = sub.add_parser("minhash", help="MinHash-LSH candidate pairs")
     _add_common(p)

@@ -210,7 +210,8 @@ def ivf_assign(emb: DataFrame, num_centroids: int = 8, key: str = "vec_id",
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                           num_centroids: int | None = None, key: str = "vec_id",
                           vec_col: str = "embedding",
-                          n_hint: int | None = None) -> DataFrame:
+                          n_hint: int | None = None,
+                          assign: DataFrame | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, IVF-bucketed: vectors are
     assigned to their nearest centroid once, and only same-bucket pairs are
     scored — the self-join touches ~1/C^2 of the full cross product per
@@ -241,11 +242,19 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     `n_hint` sizes C without the counting pass — at 10^12 vectors the
     `emb.count()` fallback is a full scan before any work starts, and
     callers (catalog readers, the CLI) usually know n already. The hint
-    only picks C; correctness never depends on it being exact."""
-    if num_centroids is None:
-        n = n_hint if n_hint is not None else emb.count()
-        num_centroids = max(8, n // 250)
-    assign = ivf_assign(emb, num_centroids, key, vec_col)
+    only picks C; correctness never depends on it being exact.
+
+    `assign` is the persisted-index path (same contract as
+    `ivf_ann_query`): pass a precomputed (key, centroid_id) assignment —
+    e.g. the `ann --build-index` table read back from a catalog — and the
+    full-corpus bucket-assignment pass is skipped entirely (CLI:
+    `cc --method embedding --index`). Bucket granularity then comes from
+    the index, so num_centroids/n_hint are ignored."""
+    if assign is None:
+        if num_centroids is None:
+            n = n_hint if n_hint is not None else emb.count()
+            num_centroids = max(8, n // 250)
+        assign = ivf_assign(emb, num_centroids, key, vec_col)
     unit = _unit_vectors(emb, key, vec_col)
     tagged = unit.join(assign.select(key, "centroid_id"), key)
     tagged = register_cache(tagged.cache())

@@ -142,6 +142,63 @@ def test_ann_persisted_index_build_once_probe_twice(spark, tmp_path, capsys,
     assert baseline["rows_written"] == 5
 
 
+def test_cc_embedding_reuses_persisted_index(spark, tmp_path, capsys,
+                                             monkeypatch):
+    """Round-5 prescription: cc --method embedding --index reuses the
+    ann --build-index bucket assignment — the assignment is computed ZERO
+    times during clustering (ivf_assign forbidden) and the components are
+    identical to the recompute path."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+        similarity,
+    )
+
+    cat_dir = str(tmp_path / "cat")
+    built = _run(capsys, "ann", "--input", SF_DIR, "--output", cat_dir,
+                 "--build-index", "--run-id", "build-1")
+    assert built["built"] is True
+
+    # baseline: the recompute path (default seed centroids, C=8 at this n)
+    _run(capsys, "cc", "--input", SF_DIR,
+         "--output", str(tmp_path / "base"), "--method", "embedding",
+         "--min-cosine", "0.4", "--run-id", "cc-base")
+    base = sorted((r.vec_id, r.component_id) for r in
+                  Catalog(str(tmp_path / "base"))
+                  .read(spark, "vec_neardup_components").collect())
+
+    def _no_assign(*a, **kw):
+        raise AssertionError("ivf_assign must not run on the --index path")
+
+    monkeypatch.setattr(similarity, "ivf_assign", _no_assign)
+    out1 = _run(capsys, "cc", "--input", SF_DIR, "--output", cat_dir,
+                "--method", "embedding", "--min-cosine", "0.4",
+                "--index", "--run-id", "cc-1")
+    assert out1["rows_written"] == len(base) > 0
+    got1 = sorted((r.vec_id, r.component_id) for r in
+                  Catalog(cat_dir)
+                  .read(spark, "vec_neardup_components").collect())
+    assert got1 == base
+
+    # second run, distinct output catalog, index passed by directory
+    out2 = _run(capsys, "cc", "--input", SF_DIR,
+                "--output", str(tmp_path / "cat2"), "--method", "embedding",
+                "--min-cosine", "0.4", "--index", cat_dir,
+                "--run-id", "cc-2")
+    assert out2["rows_written"] == len(base)
+    got2 = sorted((r.vec_id, r.component_id) for r in
+                  Catalog(str(tmp_path / "cat2"))
+                  .read(spark, "vec_neardup_components").collect())
+    assert got2 == base
+
+
+def test_cc_index_rejected_for_text_methods(tmp_path, capsys):
+    import pytest
+
+    with pytest.raises(SystemExit, match="--method embedding"):
+        _run(capsys, "cc", "--input", SF_DIR,
+             "--output", str(tmp_path / "c"), "--method", "shingle",
+             "--index")
+
+
 def test_report_subcommand_prunes_day_slice(spark, tmp_path, capsys):
     """`report --day/--since/--until` reads the committed results with a
     manifest-pruned scan and emits per-day stats + prune evidence."""
