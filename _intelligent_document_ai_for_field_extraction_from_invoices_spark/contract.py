@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from . import datagen
 from .functions import text as textfn
-from .operators import dedup, sessionize, similarity, textstats
+from .operators import dedup, evaluate, sessionize, similarity, textstats
 from .operators.extract import extract_pages
 from .plans import lineage
 from .sources.tables import Catalog
@@ -236,6 +236,18 @@ def q_results_by_day_pruned(spark, sf_dir):
          .cast("long").alias("n_failed"),
         F.sum(F.length("body_text")).cast("long").alias("body_bytes"),
     )
+
+
+def q_lineage_perf(spark, sf_dir):
+    """A8/A9 over the COMMITTED lineage table (production catalog read
+    path): run-level throughput + cost on the deterministic estimate tier
+    (evaluate.run_performance_summary — float math on exact integer totals
+    only, so the result is partition-split-independent and the DuckDB
+    oracle reproduces it from the mirrored extraction arithmetic). The
+    measured-wall_ms tier of the same formulas is wall-clock and pinned by
+    pytest (test_lineage_carries_measured_wall_ms) instead."""
+    lin = pipeline_catalog(spark, sf_dir).read(spark, lineage.LINEAGE_TABLE)
+    return evaluate.run_performance_summary(lin)
 
 
 _EXTRACT_ORACLES = {
@@ -893,6 +905,28 @@ ORACLES: dict[str, str] = {
         FROM d JOIN body b ON d.doc_id = b.doc_id
         WHERE d.warc_day BETWEEN '{_DAY_LO}' AND '{_DAY_HI}'
         GROUP BY 1""",
+    # run-level A8/A9 from committed lineage: lineage totals (n_rows,
+    # bytes_out, n_failed) are pure functions of the corpus, so the oracle
+    # reaggregates the mirrored body arithmetic; the float formulas then
+    # run on exact integer totals in the identical op order
+    "q_lineage_perf": f"""
+        WITH body AS ({_EXTRACT_ORACLES["extract_body"]}),
+        t AS (
+          SELECT count(*)::BIGINT AS n_docs,
+                 sum(length(body_text))::BIGINT AS bytes_out,
+                 sum(CASE WHEN doc_id % 97 = 96 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_failed
+          FROM body
+        )
+        SELECT n_docs, bytes_out, n_failed,
+               round(bytes_out / 2000000.0, 3) AS est_cpu_sec,
+               round(n_docs / (bytes_out / 2000000.0), 2)
+                 AS docs_per_cpu_sec,
+               round(n_docs / (bytes_out / 2000000.0 / 3600.0), 0)
+                 AS docs_per_cpu_hour,
+               round(bytes_out / 2000000.0 / 3600.0 * 0.01, 8)
+                 AS est_cost_usd
+        FROM t""",
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
@@ -1258,6 +1292,7 @@ QUERIES = {
     "extract_status_summary": q_extract_status_summary,
     "extract_blocks_kept": q_extract_blocks_kept,
     "q_results_by_day_pruned": q_results_by_day_pruned,
+    "q_lineage_perf": q_lineage_perf,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q_region_customer_stats": q_region_customer_stats,

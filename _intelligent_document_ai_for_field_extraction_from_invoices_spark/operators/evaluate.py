@@ -114,6 +114,9 @@ def confidence_distribution(results: DataFrame) -> DataFrame:
 
 
 CPU_RATE_PER_HOUR = 0.01  # ref cost model, executable.py:473-488
+# estimate tier for lineage rows without measured wall_ms: ~2 MB/s/core of
+# extracted text, measured on this pipeline's flagship
+EST_BYTES_PER_SEC = 2_000_000.0
 
 
 def cost_metrics(lineage_df: DataFrame,
@@ -123,7 +126,7 @@ def cost_metrics(lineage_df: DataFrame,
     lineage carries wall_ms (run_extraction records real per-partition UDF
     wall time); the bytes-based estimate is only the fallback for lineage
     written without timings."""
-    est_sec = F.col("bytes_out") / F.lit(2_000_000.0)  # ~2 MB/s/core measured
+    est_sec = F.col("bytes_out") / F.lit(EST_BYTES_PER_SEC)
     if "wall_ms" in lineage_df.columns:
         sec = F.coalesce(F.col("wall_ms") / 1000.0, est_sec)
     else:
@@ -134,6 +137,32 @@ def cost_metrics(lineage_df: DataFrame,
     ).withColumn("cost_per_row_usd",
                  F.round(F.col("est_cost_usd")
                          / F.greatest(F.col("n_rows"), F.lit(1)), 10))
+
+
+def run_performance_summary(lineage_df: DataFrame,
+                            rate_per_hour: float = CPU_RATE_PER_HOUR
+                            ) -> DataFrame:
+    """A8 throughput + A9 cost at RUN granularity over committed lineage
+    rows, on the deterministic estimate tier: every float op happens on
+    exact integer TOTALS (sum of n_rows / bytes_out / n_failed), so the
+    result is identical for any partition split of the same corpus — which
+    is what lets a DuckDB oracle reproduce it from the mirrored extraction
+    arithmetic and hash-match (contract.py q_lineage_perf). The measured
+    wall_ms tier keeps its per-partition formulas in performance_metrics /
+    cost_metrics; wall-clock can't hash-match any oracle by construction,
+    so it is pinned by pytest instead
+    (test_lineage_carries_measured_wall_ms)."""
+    sec = F.sum("bytes_out") / F.lit(EST_BYTES_PER_SEC)
+    return lineage_df.agg(
+        F.sum("n_rows").alias("n_docs"),
+        F.sum("bytes_out").alias("bytes_out"),
+        F.sum("n_failed").alias("n_failed"),
+        F.round(sec, 3).alias("est_cpu_sec"),
+        F.round(F.sum("n_rows") / sec, 2).alias("docs_per_cpu_sec"),
+        F.round(F.sum("n_rows") / (sec / 3600.0), 0)
+        .alias("docs_per_cpu_hour"),
+        F.round(sec / 3600.0 * rate_per_hour, 8).alias("est_cost_usd"),
+    )
 
 
 def performance_metrics(lineage_df: DataFrame) -> DataFrame:
