@@ -79,6 +79,83 @@ def fuzz_pages():
     return [(f"fuzz-{i}", _page(rng)) for i in range(150)]
 
 
+def _malformed_pdf(rng: random.Random, i: int) -> bytes:
+    """One seeded adversarial PDF: start from the well-formed synthetic
+    shape (datagen.render_pdf), then apply structural damage — truncated
+    xref/EOF, corrupted stream Length, mixed EOLs, unbalanced/escaped
+    parens, byte flips, garbage tails (round-4 verdict prescription #7)."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark import datagen
+
+    text = " ".join(rng.choices(WORDS, k=rng.randint(0, 80)))
+    base = bytearray(datagen.render_pdf(i, text))
+    mutation = i % 10
+    if mutation == 0:      # truncate mid-file (xref/trailer gone)
+        base = base[:rng.randint(6, max(7, len(base) - 1))]
+    elif mutation == 1:    # corrupt the stream Length value
+        base = bytearray(
+            bytes(base).replace(b"/Length", b"/Length 999999 %", 1))
+    elif mutation == 2:    # mixed EOLs everywhere
+        base = bytearray(bytes(base).replace(b"\n", rng.choice(
+            [b"\r\n", b"\r", b"\n\r"])))
+    elif mutation == 3:    # unbalanced paren inside a Tj operand
+        base = bytearray(bytes(base).replace(b") Tj", b"( Tj", 1))
+    elif mutation == 4:    # trailing backslash escape at operand end
+        base = bytearray(bytes(base).replace(b") Tj", b"\\) Tj", 2))
+    elif mutation == 5:    # random byte flips
+        for _ in range(rng.randint(1, 12)):
+            base[rng.randrange(5, len(base))] = rng.randrange(256)
+    elif mutation == 6:    # binary garbage tail after %%EOF
+        base += bytes(rng.randrange(256) for _ in range(rng.randint(1, 200)))
+    elif mutation == 7:    # header only / header + noise
+        base = b"%PDF-" + bytes(rng.randrange(256)
+                                for _ in range(rng.randint(0, 40)))
+    elif mutation == 8:    # nested parens + non-utf8 bytes in operands
+        junk = b"(a(b)c\\" + bytes([rng.randrange(128, 256)]) + b") Tj "
+        base = bytearray(bytes(base).replace(b"BT", b"BT " + junk, 1))
+    # mutation == 9: well-formed survivor (parity must hold end-to-end)
+    return bytes(base)
+
+
+@pytest.fixture(scope="module")
+def fuzz_pdfs():
+    rng = random.Random(0xFEED)
+    return [(f"pdf-fuzz-{i}", _malformed_pdf(rng, i)) for i in range(120)]
+
+
+def test_pdf_fuzz_containment_and_distributed_parity(spark, fuzz_pdfs):
+    """Round-4 verdict #7: >=100 seeded malformed PDFs through the PDF
+    branch — (1) extraction NEVER raises (failures are rows with a
+    pdf_parse/parse error category), (2) the distributed Arrow pipeline
+    returns byte-identical rows to the driver-side golden extractor on
+    every payload, malformed or not."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators.extract import (
+        extract_pages,
+    )
+
+    exp = {}
+    for u, data in fuzz_pdfs:
+        row = golden.extract_page(u, data)  # must not raise — containment
+        assert row["status"] in ("success", "failed")
+        exp[u] = row
+    # the PDF route was actually exercised, including survivors
+    assert sum(1 for r in exp.values() if r["status"] == "success") >= 12
+    assert all(r["error_message"] is None
+               or r["error_message"].startswith(("pdf_parse", "empty"))
+               for r in exp.values())
+
+    df = spark.createDataFrame(
+        [(u, bytearray(h)) for u, h in fuzz_pdfs], "url string, html binary")
+    got = {r.url: r.asDict() for r in
+           extract_pages(df, num_partitions=8).collect()}
+    assert set(got) == set(exp)
+    mismatches = []
+    for u, e in exp.items():
+        g = {k: got[u][k] for k in e}
+        if g != e:
+            mismatches.append((u, e, g))
+    assert not mismatches, mismatches[:3]
+
+
 def test_native_twin_parity_on_adversarial_pages(spark, fuzz_pages):
     exp = {u: golden.extract_page(u, h) for u, h in fuzz_pages}
     df = spark.createDataFrame(
