@@ -204,6 +204,31 @@ def cmd_report(spark, args) -> dict:
     }
 
 
+def cmd_compact(spark, args) -> dict:
+    """Small-file maintenance for a committed catalog: rewrite each table's
+    current snapshot into right-sized files (streaming sinks append one
+    file set per micro-batch — reads eventually pay a footer open per
+    batch), optionally vacuuming the superseded files right away.
+    Partition layout and exactly-once txn history are preserved
+    (sources/tables.py Catalog.compact)."""
+    cat = Catalog(args.catalog)
+    if args.table:
+        tables = [args.table]
+    else:
+        tables = [t for t in (lineage.RESULTS_TABLE, lineage.LINEAGE_TABLE,
+                              lineage.CHECKPOINT_TABLE) if cat.exists(t)]
+        if not tables:
+            raise SystemExit(f"compact: no tables found in {args.catalog}")
+    out = {}
+    for t in tables:
+        stats = cat.compact(spark, t,
+                            target_file_bytes=args.target_mb * 1024 * 1024)
+        if args.vacuum:
+            stats["files_vacuumed"] = cat.vacuum(t)
+        out[t] = stats
+    return {"tables": out}
+
+
 def cmd_dedup(spark, args) -> dict:
     """Full dedup map: every content-digest group with its canonical doc and
     copy count (n_copies == 1 rows included — the map is what downstream
@@ -370,6 +395,17 @@ def main(argv=None) -> None:
                         "a run id reads only that run's partition)")
     p.add_argument("--cores", default=None)
 
+    p = sub.add_parser("compact", help="rewrite a catalog's small files "
+                                       "into right-sized ones (preserves "
+                                       "layout + txn history)")
+    p.add_argument("--catalog", required=True)
+    p.add_argument("--table", default=None,
+                   help="one table (default: the extraction trio present)")
+    p.add_argument("--target-mb", type=int, default=128)
+    p.add_argument("--vacuum", action="store_true",
+                   help="reclaim the superseded files immediately")
+    p.add_argument("--cores", default=None)
+
     p = sub.add_parser("dedup", help="exact dedup groups -> catalog")
     _add_common(p)
 
@@ -440,6 +476,7 @@ def main(argv=None) -> None:
     out = {
         "extract": cmd_extract,
         "report": cmd_report,
+        "compact": cmd_compact,
         "dedup": cmd_dedup,
         "jaccard": cmd_jaccard,
         "cc": cmd_cc,

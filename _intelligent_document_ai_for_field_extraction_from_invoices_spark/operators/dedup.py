@@ -531,6 +531,16 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
         prev = labels = new_labels
         edges = contracted
         if n_edges == 0:
+            if it == 1:
+                # the ROUND-1 contraction runs over the original edges, so
+                # empty means every original edge already has equal
+                # endpoint labels: per component the labelling is uniform,
+                # and (labels being monotone node ids with the min keeping
+                # itself) that uniform value IS the component min — the
+                # fixpoint, provably, with no pointer chains to resolve.
+                # Near-clique LSH graphs land here, skipping the jump
+                # epilogue's two confirmation jobs entirely.
+                return _finish(labels)
             break
     else:
         # release_caches() frees both after the raise

@@ -536,6 +536,63 @@ class Catalog:
                          all_txns=self._parent_txns(table, cur))
         return n_removed
 
+    def compact(self, spark: SparkSession, table: str,
+                target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Rewrite the current snapshot's data into right-sized files
+        (Iceberg's rewriteDataFiles analogue). A streaming sink's per-batch
+        appends accumulate small files — at 10^5 micro-batches a reader
+        pays 10^5 footer opens per scan; compaction rewrites the SAME rows
+        into ceil(bytes/target) files and commits one 'compact' snapshot.
+
+        Partition layout is preserved: the partition columns recorded for
+        every current file keep their hive-style directory encoding, so
+        manifest-level pruning works identically on the compacted table.
+        The rewritten manifest is untagged ('compact' op, txn=None) —
+        never a rollback candidate — while the snapshot chains `all_txns`
+        forward, so exactly-once replay checks for already-committed
+        streaming batches still hold after compaction. Old files become
+        unreferenced and are reclaimed by the next `vacuum`.
+
+        Returns {"files_before", "files_after", "version"} (no-op dict
+        with version=None when already at or below the target count)."""
+        import math  # noqa: PLC0415
+
+        cur = self._read_current(table)
+        if cur is None:
+            raise FileNotFoundError(f"table not found: {table}")
+        files = self.scan_files(table)
+        total = sum(os.path.getsize(f) for f in files)
+        n_target = max(1, math.ceil(total / target_file_bytes))
+        if len(files) <= n_target:
+            return {"files_before": len(files), "files_after": len(files),
+                    "version": None}
+        # partition columns recorded for EVERY current file keep their
+        # layout; a column only some files record cannot be trusted as a
+        # table-level layout and is dropped from the rewrite
+        part_cols: set[str] | None = None
+        for e in cur["manifests"]:
+            for r in self._read_manifest(e):
+                cols = set((r.get("partition") or {}).keys())
+                part_cols = cols if part_cols is None else (part_cols & cols)
+        partition_by = sorted(part_cols) if part_cols else None
+        df = self.read(spark, table)
+        if partition_by is None:
+            df = df.repartition(n_target)
+        else:
+            # co-locate each partition value so its files merge (a value
+            # hashes to one task -> one right-sized file per value; a
+            # value too big for one task should instead raise
+            # target_file_bytes pressure via a salted repartition — out of
+            # scope for this maintenance pass and noted here)
+            df = df.repartition(max(n_target, 1), *partition_by)
+        rows = self._stage(table, df, partition_by)
+        entry = self._write_manifest(table, rows, [], op="compact")
+        version = self._commit(table, [entry], "compact", cur["version"],
+                               schema=cur.get("schema"),
+                               all_txns=self._parent_txns(table, cur))
+        return {"files_before": len(files), "files_after": len(rows),
+                "version": version}
+
     def vacuum(self, table: str, keep_versions: int = 1) -> int:
         """Delete data files not referenced by the newest `keep_versions`
         snapshots (Iceberg's expire-snapshots + orphan-file GC analogue —

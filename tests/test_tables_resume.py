@@ -290,6 +290,62 @@ def test_rollback_never_touches_overwrite_commits(spark, tmp_path):
         list(range(10))
 
 
+def test_compact_merges_small_files_preserving_rows_and_txns(spark,
+                                                             tmp_path):
+    """Iceberg rewriteDataFiles analogue: 20 micro-batch-style appends ->
+    compact -> far fewer files, identical rows, exactly-once txn history
+    intact (a replayed batch is still a no-op), rollback surgery never
+    touches the compacted manifest, vacuum reclaims the superseded files."""
+    import os
+
+    cat = Catalog(str(tmp_path))
+    for b in range(20):
+        cat.append("t", spark.range(b * 10, b * 10 + 10), txn=f"s:{b}")
+    before_files = len(cat.scan_files("t"))
+    assert before_files >= 20
+    stats = cat.compact(spark, "t")
+    assert stats["files_after"] < before_files
+    assert len(cat.scan_files("t")) == stats["files_after"]
+    assert sorted(r.id for r in cat.read(spark, "t").collect()) == \
+        list(range(200))
+    # txn history survives compaction: replay checks stay exact
+    assert cat.txns("t") == {f"s:{i}" for i in range(20)}
+    # the compacted manifest is not an append: rollback surgery with a
+    # foreign live set must not drop it
+    assert cat.remove_orphan_appends("t", live_txns=set()) == 0
+    assert cat.read(spark, "t").count() == 200
+    # superseded files reclaimed; data still intact
+    assert cat.vacuum("t") > 0
+    assert cat.read(spark, "t").count() == 200
+    # idempotent-ish: a second compact at the same target is a no-op
+    again = cat.compact(spark, "t")
+    assert again["version"] is None
+    data_root = os.path.join(str(tmp_path), "t", "data")
+    n_parquet = sum(len([f for f in fs if f.endswith(".parquet")])
+                    for _, _, fs in os.walk(data_root))
+    assert n_parquet == stats["files_after"]
+
+
+def test_compact_preserves_partition_layout_and_pruning(spark, tmp_path):
+    """Compacting a day-partitioned table must keep the hive layout: the
+    manifest-level prune opens only the matching day's files afterwards."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(str(tmp_path))
+    for b in range(6):
+        df = spark.range(b * 10, b * 10 + 10).withColumn(
+            "day", F.when(F.col("id") % 2 == 0, "2025-01-01")
+                    .otherwise("2025-01-02"))
+        cat.append("t", df, txn=f"d:{b}", partition_by=["day"])
+    stats = cat.compact(spark, "t", target_file_bytes=1 << 30)
+    assert stats["files_after"] < stats["files_before"]
+    got = cat.read(spark, "t", where={"day": "2025-01-01"})
+    assert sorted(r.id for r in got.collect()) == list(range(0, 60, 2))
+    st = cat.last_scan_stats
+    assert st["files_selected"] < stats["files_after"]  # pruning pruned
+    assert cat.read(spark, "t").count() == 60
+
+
 def test_vacuum_removes_crc_sidecars_and_success_markers(spark, tmp_path):
     """When vacuum deletes a parquet file it must also delete its Hadoop
     .crc sidecar; a staging dir left with zero data files loses its _SUCCESS
