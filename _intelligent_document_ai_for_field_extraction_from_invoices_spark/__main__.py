@@ -313,6 +313,20 @@ def cmd_cc(spark, args) -> dict:
     return out
 
 
+def cmd_decontaminate(spark, args) -> dict:
+    """Benchmark decontamination: flag corpus docs sharing any n-gram with
+    the benchmark suite (--benchmark parquet with doc_id+text columns, or
+    the synthetic doc_id % MOD == 1 subset), write the per-doc flag table."""
+    docs = _docs(spark, args)
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+    else:
+        bench = docs.filter(F.col("doc_id") % args.benchmark_mod == 1)
+    flags = dedup_ops.contamination_flags(docs, bench, n=args.ngram)
+    return _emit(Catalog(args.output), "contamination_flags", flags,
+                 args.run_id)
+
+
 def cmd_minhash(spark, args) -> dict:
     pairs = dedup_ops.minhash_lsh_pairs(
         _docs(spark, args), min_est_jaccard=args.min_jaccard)
@@ -448,6 +462,16 @@ def main(argv=None) -> None:
     _add_common(p)
     p.add_argument("--min-jaccard", type=float, default=0.25)
 
+    p = sub.add_parser("decontaminate",
+                       help="flag docs sharing n-grams with a benchmark "
+                            "suite (GPT-3/Llama-style decontamination)")
+    _add_common(p)
+    p.add_argument("--ngram", type=int, default=8)
+    p.add_argument("--benchmark", default=None,
+                   help="parquet of benchmark docs (doc_id, text); default "
+                        "is the synthetic doc_id %% MOD == 1 subset")
+    p.add_argument("--benchmark-mod", type=int, default=37)
+
     p = sub.add_parser("simhash", help="SimHash near-dup pairs")
     _add_common(p)
     p.add_argument("--max-hamming", type=int, default=8)
@@ -481,6 +505,7 @@ def main(argv=None) -> None:
         "jaccard": cmd_jaccard,
         "cc": cmd_cc,
         "minhash": cmd_minhash,
+        "decontaminate": cmd_decontaminate,
         "simhash": cmd_simhash,
         "ann": cmd_ann,
     }[args.cmd](spark, args)

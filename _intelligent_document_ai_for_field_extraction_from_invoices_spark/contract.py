@@ -238,6 +238,20 @@ def q_results_by_day_pruned(spark, sf_dir):
     )
 
 
+_BENCH_MOD = 37  # docs with doc_id % 37 == 1 stand in for the eval suite
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (dedup.contamination_flags): corpus docs
+    sharing any 8-gram with the synthetic 'benchmark suite' (doc_id % 37
+    == 1) are flagged. The benchmark shingle set is broadcast; the oracle
+    rebuilds the identical n-gram sets from raw strings (the md5 digests
+    are injective over them)."""
+    d = _docs_wide(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % _BENCH_MOD == 1)
+    return dedup.contamination_flags(d, bench, n=8)
+
+
 def q_lineage_perf(spark, sf_dir):
     """A8/A9 over the COMMITTED lineage table (production catalog read
     path): run-level throughput + cost on the deterministic estimate tier
@@ -905,6 +919,26 @@ ORACLES: dict[str, str] = {
         FROM d JOIN body b ON d.doc_id = b.doc_id
         WHERE d.warc_day BETWEEN '{_DAY_LO}' AND '{_DAY_HI}'
         GROUP BY 1""",
+    "q_contamination": f"""
+        WITH words AS (
+          SELECT doc_id, {_WORDS} AS ws FROM documents
+        ), sh AS (
+          SELECT doc_id, ws, unnest(range(len(ws) - 8 + 1)) AS i
+          FROM words WHERE len(ws) >= 8
+        ), doc_sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(ws[(i+1):(i+8)], ' ') AS g
+          FROM sh
+        ), bench AS (
+          SELECT DISTINCT g FROM doc_sh WHERE doc_id % {_BENCH_MOD} = 1
+        ), hits AS (
+          SELECT d.doc_id, count(*) AS n
+          FROM doc_sh d JOIN bench USING (g) GROUP BY d.doc_id
+        )
+        SELECT documents.doc_id,
+               coalesce(n, 0)::BIGINT AS n_contaminated,
+               coalesce(n, 0) >= 1 AS contaminated
+        FROM documents LEFT JOIN hits ON documents.doc_id = hits.doc_id""",
     # run-level A8/A9 from committed lineage: lineage totals (n_rows,
     # bytes_out, n_failed) are pure functions of the corpus, so the oracle
     # reaggregates the mirrored body arithmetic; the float formulas then
@@ -1293,6 +1327,7 @@ QUERIES = {
     "extract_blocks_kept": q_extract_blocks_kept,
     "q_results_by_day_pruned": q_results_by_day_pruned,
     "q_lineage_perf": q_lineage_perf,
+    "q_contamination": q_contamination,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q_region_customer_stats": q_region_customer_stats,

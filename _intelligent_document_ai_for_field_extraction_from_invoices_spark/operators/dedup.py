@@ -154,6 +154,53 @@ def shingle_pairs(df: DataFrame, key: str = "doc_id", text_col: str = "text",
     )
 
 
+def contamination_flags(docs: DataFrame, benchmark: DataFrame,
+                        key: str = "doc_id", text_col: str = "text",
+                        bench_text_col: str = "text",
+                        n: int = 8, min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination — the standard pretraining-data step
+    (GPT-3 appendix C / Llama-style n-gram overlap): flag corpus documents
+    whose word n-grams intersect an evaluation suite's n-grams, so
+    training data can be filtered before a model memorizes its own test
+    set. One row per corpus doc: distinct contaminated-shingle count +
+    the >= min_hits flag.
+
+    Scale shape: the benchmark side is tiny by construction (eval suites
+    are 10^3-10^5 items vs 10^12 docs), so its distinct shingle set is
+    BROADCAST and the corpus shingle stream is filtered map-side — the
+    only shuffle is the per-doc count aggregate (map-side partial combine
+    on the doc key) and the left join back to the doc list. Shingles are
+    md5 digests shared with the near-dup family (_shingles), so the
+    broadcast carries fixed-width hashes, not raw n-gram strings."""
+    def _sh_stream(df: DataFrame, col: str):
+        ok = F.size(F.split(F.trim(F.col(_bq(col))), WS_RUN)) >= n
+        return df.filter(ok).select(
+            F.explode(F.array_distinct(_shingles(col, n))).alias("sh"))
+
+    doc_sh = (
+        docs.filter(F.size(F.split(F.trim(F.col(_bq(text_col))),
+                                   WS_RUN)) >= n)
+        .select(F.col(_bq(key)).alias("k"),
+                F.explode(F.array_distinct(_shingles(text_col, n)))
+                .alias("sh"))
+    )
+    bench_sh = _sh_stream(benchmark, bench_text_col).distinct()
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("k").agg(F.count("*").alias("n_contaminated"))
+    )
+    n_col = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return (
+        docs.select(F.col(_bq(key)))
+        .join(hits.withColumnRenamed("k", key), key, "left")
+        .select(
+            F.col(_bq(key)),
+            n_col.cast("long").alias("n_contaminated"),
+            (n_col >= min_hits).alias("contaminated"),
+        )
+    )
+
+
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Token-set Jaccard for candidate pairs (ref string-similarity fallback,

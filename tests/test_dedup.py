@@ -133,3 +133,29 @@ def test_bpe_token_counts_engine_identity_adversarial(spark, tmp_path):
     want = {r[0]: (r[1], r[2])
             for r in con.sql(contract._bpe_oracle_sql()).fetchall()}
     assert got == want
+
+
+def test_contamination_flags_known_overlaps(spark):
+    """Decontamination: docs embedding a benchmark n-gram are flagged; the
+    count is the number of DISTINCT contaminated n-grams; short docs
+    (< n words) and clean docs pass with zero."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string")
+    w = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame([
+        # contains benchmark 8-grams verbatim (prefix + shifted = 3 of them)
+        (1, "the quick brown fox jumps over the lazy dog tonight extra"),
+        (2, w),                              # clean
+        (3, "too short"),                    # < 8 words: no shingles
+        # one exact benchmark 8-gram inside other text
+        (4, f"{w} quick brown fox jumps over the lazy dog {w}"),
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            dedup.contamination_flags(docs, bench, n=8).collect()}
+    assert len(rows) == 4
+    assert rows[1].contaminated and rows[1].n_contaminated == 3
+    assert not rows[2].contaminated and rows[2].n_contaminated == 0
+    assert not rows[3].contaminated and rows[3].n_contaminated == 0
+    assert rows[4].contaminated and rows[4].n_contaminated == 1
+    dedup.release_caches()
