@@ -434,6 +434,32 @@ class Catalog:
                             schema=df.schema.json(),
                             all_txns=self._parent_txns(table, cur))
 
+    @staticmethod
+    def _merge_schema(old_json: str, new_schema) -> str:
+        """Additive schema evolution (Iceberg add-column semantics): the
+        recorded table schema gains any column the appended frame carries
+        that the table lacks (forced nullable — existing files don't have
+        it); a column present in both with a DIFFERENT type raises instead
+        of silently corrupting reads. Dropped columns stay in the table
+        schema (old files still hold them; readers see null for new
+        files via the name-based parquet column resolution)."""
+        from pyspark.sql.types import StructField, StructType  # noqa: PLC0415
+
+        old = StructType.fromJson(json.loads(old_json))
+        by_name = {f.name: f for f in old.fields}
+        merged = list(old.fields)
+        for f in new_schema.fields:
+            have = by_name.get(f.name)
+            if have is None:
+                merged.append(StructField(f.name, f.dataType, nullable=True))
+            elif have.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution type conflict on column {f.name!r}: "
+                    f"table has {have.dataType.simpleString()}, append has "
+                    f"{f.dataType.simpleString()} (only additive evolution "
+                    "is supported)")
+        return StructType(merged).json()
+
     def append(self, table: str, df: DataFrame, txn: str | None = None,
                partition_by: list[str] | None = None) -> int:
         """Append with an optional transaction tag. A multi-table writer tags
@@ -442,16 +468,23 @@ class Catalog:
         reached the marker — pure metadata surgery, no data rewrite.
 
         Metadata cost is O(new files): one manifest for the added files plus
-        a bounded manifest list (small manifests merge on commit)."""
+        a bounded manifest list (small manifests merge on commit).
+
+        Schema evolution is additive: an appended frame may carry NEW
+        columns (recorded nullable; readers see null for pre-evolution
+        files via the recorded-schema read path); a type change on an
+        existing column raises."""
         rows = self._stage(table, df, partition_by, txn=txn)
         cur = self._read_current(table)
         entry = self._write_manifest(table, rows, [txn])
         entries = (list(cur["manifests"]) if cur else []) + [entry]
         entries = self._maybe_merge(table, entries)
+        old_schema = (cur or {}).get("schema")
+        schema = (self._merge_schema(old_schema, df.schema)
+                  if old_schema else df.schema.json())
         return self._commit(table, entries, "append",
                             cur["version"] if cur else None, txn=txn,
-                            schema=(cur or {}).get("schema")
-                            or df.schema.json(),
+                            schema=schema,
                             all_txns=self._parent_txns(table, cur))
 
     def _parent_txns(self, table: str, cur: dict | None) -> set[str]:
@@ -742,22 +775,34 @@ class Catalog:
              where: dict | None = None) -> DataFrame:
         """Read a snapshot; `where=` prunes at the manifest level (only
         matching partitions' files are opened) and applies the residual row
-        filter for exactness."""
+        filter for exactness.
+
+        The read uses the RECORDED snapshot schema (not a sampled file
+        footer), so mixed-schema file sets read stably: after an additive
+        schema evolution, pre-evolution files surface null for the new
+        columns no matter which file a footer sample would have hit.
+        Legacy snapshots without a recorded schema keep the footer path."""
         from pyspark.sql import functions as F  # noqa: PLC0415
 
+        snap = self._snap(table, version)
+        schema = None
+        if snap.get("schema"):
+            from pyspark.sql.types import StructType  # noqa: PLC0415
+
+            schema = StructType.fromJson(json.loads(snap["schema"]))
         files = self.scan_files(table, where=where, version=version)
         if not files:
-            snap = self._snap(table, version)
-            all_files = self._snap_files(snap)
-            if not all_files:
+            if not self._snap_files(snap):
                 raise ValueError(f"empty table: {table}")
             # a predicate matching zero partitions is a normal query
-            # outcome: empty result with the table's schema — derived from
-            # ONE file's footer, not a full-snapshot listing (the zero-match
-            # case is exactly when pruning won big; defeating it with an
-            # every-footer schema merge would be absurd)
-            return spark.read.parquet(all_files[0]).limit(0)
-        df = spark.read.parquet(*files)
+            # outcome: empty result with the table's schema (recorded, or
+            # one footer for legacy snapshots — never a full-footer merge)
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            return spark.read.parquet(self._snap_files(snap)[0]).limit(0)
+        reader = spark.read.schema(schema) if schema is not None \
+            else spark.read
+        df = reader.parquet(*files)
         for k, spec in (where or {}).items():
             df = df.filter(self._residual(F, df, k, _normalize_pred(spec)))
         return df

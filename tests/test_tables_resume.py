@@ -290,6 +290,35 @@ def test_rollback_never_touches_overwrite_commits(spark, tmp_path):
         list(range(10))
 
 
+def test_schema_evolution_additive_append(spark):
+    """Iceberg add-column semantics: an append may carry new columns; the
+    recorded schema evolves, reads use IT (not a sampled footer), and
+    pre-evolution files surface null for the new columns. Type changes on
+    existing columns fail loudly."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cat = Catalog(tmp)
+        cat.append("t", spark.range(3))
+        cat.append("t", spark.range(3, 6).withColumn("lang", F.lit("en")))
+        df = cat.read(spark, "t")
+        assert df.columns == ["id", "lang"]
+        rows = {r.id: r.lang for r in df.collect()}
+        assert rows == {0: None, 1: None, 2: None,
+                        3: "en", 4: "en", 5: "en"}
+        # time travel to the pre-evolution snapshot keeps the old schema
+        assert cat.read(spark, "t", version=1).columns == ["id"]
+        # an append missing the evolved column still works (nulls)
+        cat.append("t", spark.range(6, 7))
+        assert cat.read(spark, "t").filter("id = 6").first().lang is None
+        # type conflict: fail loudly, never corrupt reads
+        with pytest.raises(ValueError, match="type conflict"):
+            cat.append("t", spark.range(7, 8).withColumn(
+                "lang", F.lit(3).cast("int")))
+
+
 def test_compact_merges_small_files_preserving_rows_and_txns(spark,
                                                              tmp_path):
     """Iceberg rewriteDataFiles analogue: 20 micro-batch-style appends ->
