@@ -313,6 +313,18 @@ def cmd_cc(spark, args) -> dict:
     return out
 
 
+def cmd_paradedup(spark, args) -> dict:
+    """Cross-corpus exact paragraph dedup over a committed extraction
+    catalog's body_text (FineWeb/Gopher boilerplate removal): repeated
+    paragraphs keep their first (url, position) occurrence corpus-wide;
+    the per-url cleaned text lands in `paragraph_deduped`."""
+    cat = Catalog(args.catalog)
+    res = cat.read(spark, lineage.RESULTS_TABLE).select("url", "body_text")
+    cleaned = dedup_ops.paragraph_dedup(res, key="url",
+                                        text_col="body_text")
+    return _emit(cat, "paragraph_deduped", cleaned, args.run_id)
+
+
 def cmd_decontaminate(spark, args) -> dict:
     """Benchmark decontamination: flag corpus docs sharing any n-gram with
     the benchmark suite (--benchmark parquet with doc_id+text columns, or
@@ -462,6 +474,13 @@ def main(argv=None) -> None:
     _add_common(p)
     p.add_argument("--min-jaccard", type=float, default=0.25)
 
+    p = sub.add_parser("paradedup",
+                       help="cross-corpus exact paragraph dedup over a "
+                            "committed extraction catalog's body_text")
+    p.add_argument("--catalog", required=True)
+    p.add_argument("--run-id", default="cli-run")
+    p.add_argument("--cores", default=None)
+
     p = sub.add_parser("decontaminate",
                        help="flag docs sharing n-grams with a benchmark "
                             "suite (GPT-3/Llama-style decontamination)")
@@ -506,6 +525,7 @@ def main(argv=None) -> None:
         "cc": cmd_cc,
         "minhash": cmd_minhash,
         "decontaminate": cmd_decontaminate,
+        "paradedup": cmd_paradedup,
         "simhash": cmd_simhash,
         "ann": cmd_ann,
     }[args.cmd](spark, args)

@@ -238,6 +238,16 @@ def q_results_by_day_pruned(spark, sf_dir):
     )
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Cross-corpus exact paragraph dedup (dedup.paragraph_dedup) over the
+    extraction pipeline's body_text: every duplicated paragraph keeps only
+    its first (doc, position) occurrence corpus-wide; texts reassemble in
+    order. The oracle replays the identical min-encoded-key fixpoint over
+    the mirrored body arithmetic."""
+    res = extraction_results(spark, sf_dir).select("doc_id", "body_text")
+    return dedup.paragraph_dedup(res, key="doc_id", text_col="body_text")
+
+
 _BENCH_MOD = 37  # docs with doc_id % 37 == 1 stand in for the eval suite
 
 
@@ -919,6 +929,31 @@ ORACLES: dict[str, str] = {
         FROM d JOIN body b ON d.doc_id = b.doc_id
         WHERE d.warc_day BETWEEN '{_DAY_LO}' AND '{_DAY_HI}'
         GROUP BY 1""",
+    "q_paragraph_dedup": f"""
+        WITH body AS ({_EXTRACT_ORACLES["extract_body"]}),
+        paras AS (
+          SELECT doc_id,
+                 unnest(string_split(body_text, chr(10))) AS p,
+                 unnest(range(len(string_split(body_text, chr(10))))) AS pos
+          FROM body
+        ), ek AS (
+          SELECT doc_id, pos, p, doc_id * 1000000 + pos AS ekey FROM paras
+        ), winners AS (
+          SELECT p, min(ekey) AS ekey FROM ek GROUP BY p
+        ), kept AS (
+          SELECT ek.doc_id, ek.pos, ek.p
+          FROM ek JOIN winners ON ek.ekey = winners.ekey
+        ), rebuilt AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(p, chr(10) ORDER BY pos) AS clean_text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(r.clean_text, '') AS clean_text,
+               coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+               (len(string_split(b.body_text, chr(10)))
+                - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
+        FROM body b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id""",
     "q_contamination": f"""
         WITH words AS (
           SELECT doc_id, {_WORDS} AS ws FROM documents
@@ -1328,6 +1363,7 @@ QUERIES = {
     "q_results_by_day_pruned": q_results_by_day_pruned,
     "q_lineage_perf": q_lineage_perf,
     "q_contamination": q_contamination,
+    "q_paragraph_dedup": q_paragraph_dedup,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q_region_customer_stats": q_region_customer_stats,

@@ -154,6 +154,73 @@ def shingle_pairs(df: DataFrame, key: str = "doc_id", text_col: str = "text",
     )
 
 
+def paragraph_dedup(docs: DataFrame, key: str = "doc_id",
+                    text_col: str = "text",
+                    sep: str = "\n") -> DataFrame:
+    """Cross-corpus exact PARAGRAPH dedup (the FineWeb/Gopher boilerplate
+    move: repeated nav/footer/legal paragraphs are dropped corpus-wide,
+    keeping each distinct paragraph's FIRST occurrence): documents are
+    split on `sep`, every occurrence of a duplicated paragraph except the
+    one with the smallest (doc, position) survives, and each document's
+    text is reassembled in original order. Output: one row per input doc
+    with `clean_text`, `n_kept`, `n_dropped`.
+
+    Determinism: the winner per paragraph is a plain MIN aggregate
+    (map-side combine, no window/row_number) — over an encoded BIGINT key
+    (doc_id * 1e6 + position; positions are bounded by paragraph counts,
+    far under 1e6) for integer doc keys, which is what the ANSI oracle
+    replays; string keys (urls) take the equivalent min-over-(key, pos)
+    struct path. Scale shape: one shuffle keyed on the paragraph digest
+    (uniform), one join back on the winner key, one per-doc reassembly
+    aggregate; paragraph order is restored with array_sort over
+    (pos, text) structs, never a sort of the whole corpus."""
+    from pyspark.sql.types import IntegralType  # noqa: PLC0415
+
+    did = F.col(_bq(key))
+    paras = docs.select(
+        did.alias("k"),
+        F.posexplode(F.split(F.col(_bq(text_col)), sep)).alias("pos", "p"),
+    )
+    integral = isinstance(docs.schema[key].dataType, IntegralType)
+    if integral:
+        paras = paras.withColumn(
+            "ekey", F.col("k") * F.lit(1_000_000) + F.col("pos"))
+        winners = (
+            paras.groupBy(F.md5("p").alias("d"))
+            .agg(F.min("ekey").alias("ekey"))
+            .select("ekey")
+        )
+        kept = paras.join(winners, "ekey")
+    else:
+        winners = (
+            paras.groupBy(F.md5("p").alias("d"))
+            .agg(F.min(F.struct("k", "pos")).alias("w"))
+            .select(F.col("w.k").alias("k"), F.col("w.pos").alias("pos"))
+        )
+        kept = paras.join(winners, ["k", "pos"])
+    rebuilt = kept.groupBy("k").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                lambda s: s["p"],
+            ), sep).alias("clean_text"),
+    )
+    n_paras = docs.select(
+        did.alias("k"),
+        F.size(F.split(F.col(_bq(text_col)), sep)).alias("n_paras"))
+    return (
+        n_paras.join(rebuilt, "k", "left")
+        .select(
+            F.col("k").alias(key),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_dropped"),
+        )
+    )
+
+
 def contamination_flags(docs: DataFrame, benchmark: DataFrame,
                         key: str = "doc_id", text_col: str = "text",
                         bench_text_col: str = "text",

@@ -159,3 +159,34 @@ def test_contamination_flags_known_overlaps(spark):
     assert not rows[3].contaminated and rows[3].n_contaminated == 0
     assert rows[4].contaminated and rows[4].n_contaminated == 1
     dedup.release_caches()
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Cross-corpus paragraph dedup: duplicated paragraphs keep only their
+    first (doc, position) occurrence; texts reassemble in order; the
+    string-key (url) path picks identical winners to the integer path."""
+    rows = [
+        (1, "keep me\nSHARED FOOTER\nunique one"),
+        (2, "SHARED FOOTER\nsecond doc text"),
+        (3, "third doc\nSHARED FOOTER"),
+        (4, "SHARED FOOTER"),          # everything dropped
+        (5, "keep me too"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.paragraph_dedup(docs).collect()}
+    assert got[1].clean_text == "keep me\nSHARED FOOTER\nunique one"
+    assert got[2].clean_text == "second doc text"
+    assert got[3].clean_text == "third doc"
+    assert got[4].clean_text == "" and got[4].n_kept == 0 \
+        and got[4].n_dropped == 1
+    assert got[5].clean_text == "keep me too"
+    assert got[1].n_dropped == 0 and got[2].n_dropped == 1
+
+    # string-key path: urls ordered like the ids -> same winners
+    sdocs = spark.createDataFrame(
+        [(f"u{i}", t) for i, t in rows], "url string, text string")
+    sgot = {r.url: r for r in
+            dedup.paragraph_dedup(sdocs, key="url").collect()}
+    for i, _ in rows:
+        assert sgot[f"u{i}"].clean_text == got[i].clean_text
+        assert sgot[f"u{i}"].n_dropped == got[i].n_dropped
