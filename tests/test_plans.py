@@ -175,3 +175,33 @@ def test_bpe_tier_is_one_arrow_stage_no_shuffle(spark):
     assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) == 1
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """Decontamination's scale contract: the benchmark shingle set is the
+    BROADCAST side (eval suites are tiny at any corpus scale) — a
+    SortMergeJoin here would shuffle the whole corpus shingle stream
+    against a few thousand benchmark rows."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 37 == 1)
+    plan = _plan(dedup.contamination_flags(d, bench, n=8))
+    assert "BroadcastHashJoin" in plan
+    # per-doc hit counting partial-combines map-side
+    assert "HashAggregate" in plan
+
+
+def test_paragraph_dedup_is_window_free(spark):
+    """First-occurrence winner selection must be a min AGGREGATE, never a
+    row_number window (which would sort every paragraph of the hottest
+    digest inside one task)."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for key in ("doc_id", "url_key"):
+        df = d if key == "doc_id" else d.withColumn(
+            "url_key", F.concat(F.lit("u"), F.col("doc_id")))
+        plan = _plan(dedup.paragraph_dedup(df, key=key))
+        assert "Window" not in plan
+        assert "HashAggregate" in plan or "SortAggregate" in plan
