@@ -406,3 +406,82 @@ def test_vacuum_removes_crc_sidecars_and_success_markers(spark, tmp_path):
     # expired v1 staging dirs are gone entirely (rmtree path)
     assert all(not os.path.exists(p) for p in v1)
     assert sorted(r.id for r in cat.read(spark, "t").collect()) == list(range(5))
+
+
+def test_catalog_model_random_op_sequences(spark, tmp_path):
+    """Model-based check of the whole table layer: a seeded random sequence
+    of append / tagged-append / overwrite / rollback / vacuum / compact /
+    schema-evolving ops is mirrored against a plain in-memory reference
+    model; after every mutation the committed rows and the txn history
+    must match the model exactly. Catches cross-feature interactions no
+    single-feature test sees (e.g. compact after rollback after
+    evolution)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0x5EED5)
+    cat = Catalog(str(tmp_path / "m"))
+    model_rows: dict[int, str | None] = {}   # id -> lang (None pre-evolution)
+    model_txns: set[str] = set()
+    next_id = 0
+    evolved = False
+
+    def _mkdf(ids, lang=None):
+        df = spark.createDataFrame([(i,) for i in ids], "id long")
+        if lang is not None:
+            df = df.withColumn("lang", F.lit(lang))
+        return df
+
+    for step in range(28):
+        op = rng.choice(["append", "append", "tagged", "tagged", "dead",
+                         "overwrite", "vacuum", "compact"])
+        ids = list(range(next_id, next_id + rng.randint(1, 4)))
+        next_id = ids[-1] + 1
+        if op == "append":
+            lang = f"l{step}" if (evolved or rng.random() < 0.3) else None
+            evolved = evolved or lang is not None
+            cat.append("m", _mkdf(ids, lang))
+            model_rows.update({i: lang for i in ids})
+        elif op == "tagged":
+            txn = f"t{step}"
+            cat.append("m", _mkdf(ids, f"l{step}" if evolved else None),
+                       txn=txn)
+            model_txns.add(txn)
+            model_rows.update({i: (f"l{step}" if evolved else None)
+                               for i in ids})
+        elif op == "dead":
+            # torn transaction: tagged append then rollback against the
+            # live set that excludes it
+            txn = f"dead{step}"
+            cat.append("m", _mkdf(ids, f"l{step}" if evolved else None),
+                       txn=txn)
+            model_txns.add(txn)  # txn history keeps rolled-back tags
+            removed = cat.remove_orphan_appends(
+                "m", live_txns=model_txns - {txn})
+            assert removed >= 1
+        elif op == "overwrite":
+            txn = f"ow{step}"
+            cat.overwrite("m", _mkdf(ids, f"l{step}" if evolved else None),
+                          txn=txn)
+            model_txns.add(txn)
+            model_rows = {i: (f"l{step}" if evolved else None) for i in ids}
+            evolved = evolved  # overwrite re-records ITS schema
+        elif op == "vacuum":
+            cat.vacuum("m", keep_versions=rng.choice([1, 2, 3]))
+        elif op == "compact":
+            if cat.exists("m") and model_rows:
+                st = cat.compact(spark, "m")
+                assert st["files_after"] <= st["files_before"]
+        if not cat.exists("m"):
+            continue
+        got = {(r.id, getattr(r, "lang", None))
+               for r in cat.read(spark, "m").collect()}
+        want = {(i, v) for i, v in model_rows.items()}
+        # overwrite resets the recorded schema to the overwriting frame's:
+        # pre-evolution ids then read without a lang column at all
+        if got and "lang" not in cat.read(spark, "m").columns:
+            want = {(i, None) for i, _ in want}
+            got = {(i, None) for i, _ in got}
+        assert got == want, f"step {step} op {op}"
+        assert cat.txns("m") == model_txns, f"step {step} op {op}"
