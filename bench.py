@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "q_neardup_components",
     "q_top_terms",
     "q_distinct_users",
+    "q_contamination",
+    "q_paragraph_dedup",
 ]
 
 

@@ -105,3 +105,22 @@ def test_components_match_union_find_on_random_graphs(spark):
                for r in dedup.connected_components(df).collect()}
         assert got == expected, f"trial {trial}"
         dedup.release_caches()
+
+
+def test_components_localcheckpoint_path_on_large_graph(spark):
+    """250k nodes crosses collect_break_max, so the per-round leaf resets
+    take the localCheckpoint tier instead of the driver round-trip — the
+    path a 10^12-row corpus would live on. Star clusters of 10 converge on
+    the round-1 fast path; every node must be labelled with its hub."""
+    from pyspark.sql import functions as F
+
+    n = 250_000
+    edges = spark.range(n).selectExpr(
+        "id AS doc_a", "id - (id % 10) AS doc_b").filter("doc_a != doc_b")
+    comps = dedup.connected_components(edges)
+    assert comps.count() == n
+    wrong = comps.filter(
+        F.col("component_id") != F.col("doc_id") - (F.col("doc_id") % 10)
+    ).count()
+    assert wrong == 0
+    dedup.release_caches()
