@@ -248,6 +248,16 @@ def q_paragraph_dedup(spark, sf_dir):
     return dedup.paragraph_dedup(res, key="doc_id", text_col="body_text")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition quality signals (textstats.repetition_stats) over
+    the extraction pipeline's body_text: per-doc duplicate-line fraction +
+    top-bigram character fraction. The oracle replays the identical
+    max-of-(count, gram) tie-break in SQL (QUALIFY row_number)."""
+    res = extraction_results(spark, sf_dir).select("doc_id", "body_text")
+    return textstats.repetition_stats(res, key="doc_id",
+                                      text_col="body_text")
+
+
 _BENCH_MOD = 37  # docs with doc_id % 37 == 1 stand in for the eval suite
 
 
@@ -929,6 +939,37 @@ ORACLES: dict[str, str] = {
         FROM d JOIN body b ON d.doc_id = b.doc_id
         WHERE d.warc_day BETWEEN '{_DAY_LO}' AND '{_DAY_HI}'
         GROUP BY 1""",
+    "q_repetition_stats": f"""
+        WITH body AS ({_EXTRACT_ORACLES["extract_body"]}),
+        l AS (
+          SELECT doc_id, body_text,
+                 string_split(body_text, chr(10)) AS ls
+          FROM body
+        ), base AS (
+          SELECT doc_id,
+                 round(1 - len(list_distinct(ls))
+                       / greatest(len(ls), 1), 4) AS dup_line_frac,
+                 length(body_text) AS n_chars
+          FROM l
+        ), w AS (
+          SELECT doc_id,
+                 string_split_regex(trim(body_text), '\\s+') AS ws
+          FROM body
+        ), bg AS (
+          SELECT doc_id, array_to_string(ws[(i+1):(i+2)], ' ') AS g
+          FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+                FROM w WHERE len(ws) >= 2) s
+        ), cnt AS (
+          SELECT doc_id, g, count(*) AS n FROM bg GROUP BY doc_id, g
+        ), top AS (
+          SELECT doc_id, n AS top_n, length(g) AS top_len FROM cnt
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY n DESC, g DESC) = 1
+        )
+        SELECT b.doc_id, b.dup_line_frac,
+               round(coalesce(top_n * top_len, 0)
+                     / greatest(b.n_chars, 1), 4) AS top_bigram_char_frac
+        FROM base b LEFT JOIN top ON b.doc_id = top.doc_id""",
     "q_paragraph_dedup": f"""
         WITH body AS ({_EXTRACT_ORACLES["extract_body"]}),
         paras AS (
@@ -1364,6 +1405,7 @@ QUERIES = {
     "q_lineage_perf": q_lineage_perf,
     "q_contamination": q_contamination,
     "q_paragraph_dedup": q_paragraph_dedup,
+    "q_repetition_stats": q_repetition_stats,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q_region_customer_stats": q_region_customer_stats,

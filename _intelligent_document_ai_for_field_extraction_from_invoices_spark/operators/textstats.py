@@ -218,3 +218,56 @@ def bpe_token_counts(df: DataFrame, key: str = "doc_id",
         .select(key, "c.*")
         .filter(F.col("n_words") > 0)  # oracle scope: docs with words
     )
+
+
+def repetition_stats(df: DataFrame, key: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
+    repetitious documents are low-quality training data): per document,
+    the fraction of duplicate LINES and the fraction of characters claimed
+    by the most frequent word 2-gram. High values flag boilerplate/spam
+    for the quality-filtering stage.
+
+    Scale shape: dup_line_frac is a single narrow projection
+    (array_distinct on the split — no explode, no shuffle); the top-bigram
+    stage explodes word 2-grams once, counts per (doc, gram) with map-side
+    partial aggregation, and reduces per doc with ONE max-of-struct
+    aggregate — no window, deterministic tie-break (count, then gram,
+    lexicographically largest wins), reproducible in ANSI SQL."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    base = df.select(
+        F.col(key),
+        F.round(
+            1 - F.size(F.array_distinct(lines))
+            / F.greatest(F.size(lines), F.lit(1)), 4
+        ).alias("dup_line_frac"),
+        F.length(t).alias("n_chars_rep"),
+    )
+    words = F.split(F.trim(t), WS_RUN)
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(words) - 2),
+                    lambda i: F.array_join(F.slice(words, i + 1, 2), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        df.select(F.col(key), F.explode(bigrams).alias("g"))
+        .groupBy(key, "g").agg(F.count("*").alias("n"))
+    )
+    top = (
+        per_gram.groupBy(key)
+        .agg(F.max(F.struct("n", "g")).alias("top"))
+        .select(key, F.col("top.n").alias("top_n"),
+                F.length("top.g").alias("top_len"))
+    )
+    return (
+        base.join(top, key, "left")
+        .select(
+            F.col(key),
+            F.col("dup_line_frac"),
+            F.round(
+                F.coalesce(F.col("top_n") * F.col("top_len"), F.lit(0))
+                / F.greatest(F.col("n_chars_rep"), F.lit(1)), 4
+            ).alias("top_bigram_char_frac"),
+        )
+    )

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q_distinct_users",
     "q_contamination",
     "q_paragraph_dedup",
+    "q_repetition_stats",
 ]
 
 

@@ -190,3 +190,27 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     for i, _ in rows:
         assert sgot[f"u{i}"].clean_text == got[i].clean_text
         assert sgot[f"u{i}"].n_dropped == got[i].n_dropped
+
+
+def test_repetition_stats_gopher_signals(spark):
+    """Gopher repetition signals: duplicate-line fraction and top-bigram
+    character fraction with the deterministic (count, gram) tie-break."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import textstats
+
+    docs = spark.createDataFrame([
+        (1, "same line\nsame line\nsame line\nother line"),
+        (2, "a b a b a b"),
+        (3, "all words distinct here now"),
+        (4, ""),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.repetition_stats(docs).collect()}
+    assert got[1].dup_line_frac == 0.5  # 2 distinct of 4 lines
+    # "a b" occurs 3x (len 3) over 11 chars -> 9/11
+    assert got[2].dup_line_frac == 0.0
+    assert abs(got[2].top_bigram_char_frac - round(9 / 11, 4)) < 1e-9
+    assert got[3].dup_line_frac == 0.0
+    # every bigram occurs once -> tie-break picks the lexicographically
+    # largest: "words distinct" (14 chars) over 27 chars of text
+    assert abs(got[3].top_bigram_char_frac - round(14 / 27, 4)) < 1e-9
+    assert got[4].dup_line_frac == 0.0
+    assert got[4].top_bigram_char_frac == 0.0
