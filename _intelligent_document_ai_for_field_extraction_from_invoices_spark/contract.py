@@ -258,6 +258,16 @@ def q_repetition_stats(spark, sf_dir):
                                       text_col="body_text")
 
 
+def q_host_quota_sample(spark, sf_dir):
+    """Per-host quota downsampling (dedup.host_quota_sample): each source's
+    docs are kept with probability quota/count via an exact-integer
+    md5-uniform accept test — the oracle replays the identical arithmetic,
+    so the SAMPLE ITSELF hash-matches, not just its size."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.host_quota_sample(d, host_col="source", quota=10) \
+        .select("doc_id", "source")
+
+
 _BENCH_MOD = 37  # docs with doc_id % 37 == 1 stand in for the eval suite
 
 
@@ -939,6 +949,14 @@ ORACLES: dict[str, str] = {
         FROM d JOIN body b ON d.doc_id = b.doc_id
         WHERE d.warc_day BETWEEN '{_DAY_LO}' AND '{_DAY_HI}'
         GROUP BY 1""",
+    "q_host_quota_sample": """
+        WITH c AS (
+          SELECT source, count(*) AS cnt FROM documents GROUP BY source
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN c ON d.source = c.source
+        WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+              * cnt < 10 * 4294967296""",
     "q_repetition_stats": f"""
         WITH body AS ({_EXTRACT_ORACLES["extract_body"]}),
         l AS (
@@ -1406,6 +1424,7 @@ QUERIES = {
     "q_contamination": q_contamination,
     "q_paragraph_dedup": q_paragraph_dedup,
     "q_repetition_stats": q_repetition_stats,
+    "q_host_quota_sample": q_host_quota_sample,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q_region_customer_stats": q_region_customer_stats,

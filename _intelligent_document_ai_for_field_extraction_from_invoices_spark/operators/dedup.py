@@ -154,6 +154,35 @@ def shingle_pairs(df: DataFrame, key: str = "doc_id", text_col: str = "text",
     )
 
 
+def host_quota_sample(docs: DataFrame, host_col: str = "source",
+                      key: str = "doc_id",
+                      quota: int = 10) -> DataFrame:
+    """Per-host quota downsampling (the C4/RefinedWeb host-balancing move:
+    a handful of giant hosts dominate a raw crawl, so each host is
+    downsampled toward `quota` docs while small hosts pass untouched).
+    Each doc is kept with probability min(1, quota/count(host)) via a
+    DETERMINISTIC md5-derived uniform — the same doc is kept or dropped
+    identically on every run, engine, and partitioning.
+
+    The accept test is EXACT integer math (u32 * host_count <
+    quota * 2^32, no float thresholds to drift cross-engine), so the
+    DuckDB oracle reproduces the sample bit-for-bit. Safe while
+    host_count < 2^31 (u32 * count must fit a BIGINT) — beyond two
+    billion docs on ONE host, pre-split the host key. Scale shape: one
+    map-side-combined count per host (tiny output), one join of the
+    corpus against it (AQE broadcasts the count table when it fits), one
+    narrow filter; expected kept size is sum(min(quota, count)) without
+    any sort, window, or per-host top-N buffering."""
+    cnts = docs.groupBy(_bq(host_col)).agg(F.count("*").alias("_cnt"))
+    u = F.conv(F.substring(F.md5(F.col(_bq(key)).cast("string")), 1, 8),
+               16, 10).cast("long")
+    return (
+        docs.join(cnts, host_col)
+        .filter(u * F.col("_cnt") < F.lit(quota) * F.lit(1 << 32))
+        .drop("_cnt")
+    )
+
+
 def paragraph_dedup(docs: DataFrame, key: str = "doc_id",
                     text_col: str = "text",
                     sep: str = "\n") -> DataFrame:

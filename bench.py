@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q_contamination",
     "q_paragraph_dedup",
     "q_repetition_stats",
+    "q_host_quota_sample",
 ]
 
 

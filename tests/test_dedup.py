@@ -214,3 +214,23 @@ def test_repetition_stats_gopher_signals(spark):
     assert abs(got[3].top_bigram_char_frac - round(14 / 27, 4)) < 1e-9
     assert got[4].dup_line_frac == 0.0
     assert got[4].top_bigram_char_frac == 0.0
+
+
+def test_host_quota_sample_balances_hot_hosts(spark):
+    """Host balancing: a giant host downsamples toward the quota, small
+    hosts pass untouched, and the sample is deterministic across
+    partitionings (exact-integer md5 accept test)."""
+    rows = [(i, "big.example") for i in range(2000)] + \
+           [(10_000 + i, "small.example") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = dedup.host_quota_sample(docs, quota=50).collect()
+    by_host = {}
+    for r in kept:
+        by_host.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_host["small.example"]) == 5          # under quota: all kept
+    n_big = len(by_host["big.example"])
+    assert 25 <= n_big <= 90                           # ~quota, probabilistic
+    # deterministic under redistribution
+    kept2 = {r.doc_id for r in dedup.host_quota_sample(
+        docs.repartition(13, "doc_id"), quota=50).collect()}
+    assert kept2 == {r.doc_id for r in kept}
