@@ -1,12 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The decode/resize/frame-sample kernels require codec libraries that are NOT
-in this container; they are STUBBED behind `decoder=` hooks (the default
-deterministic fake keeps every pipeline testable; passing decoder="real"
-raises NotImplementedError at the call site, clearly marked). The Spark-side
-plumbing — schema, Arrow batch shape, partitioning, metadata projection — is
-real and tested.
+Decode tiers:
+  - UNCOMPRESSED raster formats (PPM P6, 24-bit BMP) decode FOR REAL in
+    pure NumPy (`decode_image`, `resize_nearest`, grid-pooled features) —
+    no codec library needed, so decoder="real" is a working end-to-end
+    path for these payloads.
+  - COMPRESSED codecs (JPEG/PNG/audio/video) require libraries NOT in this
+    container; those payloads raise NotImplementedError at the clearly
+    marked boundary. The Spark-side plumbing — schema, Arrow batch shape,
+    partitioning, metadata projection, 1->many frame explosion — is real
+    and tested for every tier (the deterministic fake keeps compressed
+    pipelines testable too).
 
 Schema convention for a multimodal table:
   (asset_id: long, kind: string, payload: binary, meta: struct<...>)
@@ -15,7 +20,9 @@ Schema convention for a multimodal table:
 from __future__ import annotations
 
 import hashlib
+import re
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,12 +47,82 @@ def fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
     return [h[i] / 255.0 for i in range(dim)]
 
 
+_PPM_HEADER = re.compile(rb"^P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def encode_ppm(img) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6) — the test-side
+    inverse of decode_image."""
+    a = np.asarray(img, dtype=np.uint8)
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_image(payload: bytes):
+    """REAL pure-NumPy decode for uncompressed raster payloads -> (h, w, 3)
+    uint8 array. Supports PPM P6 and 24-bit uncompressed BMP; compressed
+    codecs (JPEG/PNG magic) raise NotImplementedError at this clearly
+    marked boundary (no codec libs in this runtime)."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty image payload")
+    if payload[:2] == b"P6":
+        m = _PPM_HEADER.match(payload)
+        if not m:
+            raise ValueError("malformed PPM header")
+        w, h, maxval = (int(x) for x in m.groups())
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        pix = np.frombuffer(payload, dtype=np.uint8,
+                            count=w * h * 3, offset=m.end())
+        if pix.size < w * h * 3:
+            raise ValueError("truncated PPM pixel data")
+        return pix.reshape(h, w, 3).copy()
+    if payload[:2] == b"BM":
+        if len(payload) < 34:
+            raise ValueError("truncated BMP header")
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                f"only 24-bit uncompressed BMP decodes here (bpp={bpp}, "
+                f"compression={comp})")
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = []
+        for r in range(abs(h)):
+            lo = off + r * stride
+            row = np.frombuffer(payload, dtype=np.uint8,
+                                count=w * 3, offset=lo).reshape(w, 3)
+            rows.append(row[:, ::-1])  # BGR -> RGB
+        img = np.stack(rows)
+        return img[::-1].copy() if h > 0 else img.copy()  # bottom-up file
+    if payload[:2] == b"\xff\xd8" or payload[:4] == b"\x89PNG":
+        raise NotImplementedError(
+            "JPEG/PNG decode requires codec libraries not present in this "
+            "container; wire PIL here — the Spark plumbing around this "
+            "boundary is complete and tested (uncompressed PPM/BMP decode "
+            "for real above).")
+    raise ValueError("unrecognized image payload (not PPM/BMP/JPEG/PNG)")
+
+
+def resize_nearest(img, out_h: int, out_w: int):
+    """Nearest-neighbour resize, pure NumPy index sampling."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    ci = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ri][:, ci]
+
+
 def real_decode_features(payload: bytes, dim: int = 8) -> list[float]:
-    raise NotImplementedError(
-        "image/audio decode requires codec libraries not present in this "
-        "container; wire a real decoder here (PIL/torchaudio/ffmpeg) — the "
-        "Spark plumbing around it is complete and tested with the fake."
-    )
+    """Decode (PPM/BMP for real; compressed codecs raise at the marked
+    boundary) -> nearest-resize to a dim x dim grid -> per-row mean
+    grayscale in [0, 1] as the feature vector. Deterministic."""
+    img = decode_image(payload)
+    grid = resize_nearest(img, dim, dim).astype(np.float64)
+    gray = grid.mean(axis=2) / 255.0
+    return [float(x) for x in gray.mean(axis=1)]
 
 
 def extract_features(assets: DataFrame, decoder: str = "fake",
@@ -71,6 +148,22 @@ def extract_features(assets: DataFrame, decoder: str = "fake",
     return assets.select("asset_id", "kind", "payload").mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
+
+
+def synthetic_image_assets(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL-image asset table: seeded gradient PPMs the
+    pure-NumPy decoder path decodes end-to-end (no codec libs needed)."""
+    rows = []
+    for i in range(n):
+        h, w = 8 + i % 5, 8 + (i * 3) % 7
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.stack([
+            (x * 255 // max(w - 1, 1)),
+            (y * 255 // max(h - 1, 1)),
+            np.full((h, w), i * 7 % 256),
+        ], axis=2).astype(np.uint8)
+        rows.append((i, "image", bytearray(encode_ppm(img)), w, h, 0))
+    return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
 
 
 def synthetic_assets(spark, n: int = 64) -> DataFrame:
@@ -107,7 +200,9 @@ def sample_frames(assets: DataFrame, every_n: int = 5,
     emitting one pandas frame per INPUT row keeps worker memory bounded by
     a single asset's kept frames, never a whole batch of videos."""
     if decoder != "fake":
-        real_decode_features(b"")  # raises NotImplementedError, marked stub
+        raise NotImplementedError(
+            "video demux requires codec libraries not present in this "
+            "container (the image path decodes PPM/BMP for real)")
 
     def run(batches):
         for pdf in batches:
@@ -145,7 +240,9 @@ def audio_windows(assets: DataFrame, window_bytes: int = 1024,
     for PCM frame windows; the chunk arithmetic and 1->many plumbing are the
     real part, the codec is the stub)."""
     if decoder != "fake":
-        real_decode_features(b"")
+        raise NotImplementedError(
+            "audio codecs are not present in this container (the image "
+            "path decodes PPM/BMP for real)")
 
     def run(batches):
         for pdf in batches:

@@ -62,9 +62,80 @@ def test_audio_windows_cover_payload_exactly(spark, assets):
         assert idxs == list(range(len(rows)))
 
 
-def test_real_decoder_is_a_marked_stub(spark, assets):
+def test_real_decoder_boundaries_fail_loudly(spark, assets):
+    # video demux stays codec-blocked: raised at plan time
     with pytest.raises(NotImplementedError):
-        mm.sample_frames(assets, decoder="real")  # raised at plan time
-    # extract_features raises inside the executor UDF -> wrapped by Spark
-    with pytest.raises(Exception, match="codec libraries"):
+        mm.sample_frames(assets, decoder="real")
+    # non-image byte blobs through the real path fail loudly inside the
+    # executor UDF (the uncompressed PPM/BMP tier decodes for real; see
+    # test_real_ppm_decode_roundtrip_and_features)
+    with pytest.raises(Exception, match="unrecognized image payload"):
         mm.extract_features(assets, decoder="real").collect()
+
+
+def test_real_ppm_decode_roundtrip_and_features(spark):
+    """The uncompressed tier decodes FOR REAL: encode->decode is identity,
+    and the distributed decoder="real" feature path matches a driver-side
+    loop exactly (pure-NumPy, no codec libs)."""
+    import numpy as np
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import multimodal as M
+
+    img = (np.arange(6 * 5 * 3, dtype=np.uint8) % 251).reshape(6, 5, 3)
+    assert np.array_equal(M.decode_image(M.encode_ppm(img)), img)
+
+    assets = M.synthetic_image_assets(spark, n=24)
+    got = {r.asset_id: list(r.feat) for r in
+           M.extract_features(assets, decoder="real").collect()}
+    for row in assets.collect():
+        want = M.real_decode_features(bytes(row.payload))
+        assert np.allclose(got[row.asset_id], want, atol=1e-6), row.asset_id
+    # features are non-trivial (gradient images -> varying row means)
+    feats = np.array(list(got.values()))
+    assert feats.std() > 0.01
+
+
+def test_real_bmp_decode_24bit(spark):
+    """Hand-built 24-bit bottom-up BMP with row padding decodes to the
+    expected RGB pixels."""
+    import numpy as np
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import multimodal as M
+
+    img = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                    [[10, 20, 30], [40, 50, 60], [70, 80, 90]]],
+                   dtype=np.uint8)  # (h=2, w=3)
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for c in range(w):
+            rgb = img[r, c]
+            row += bytes([rgb[2], rgb[1], rgb[0]])  # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        body += row
+    off = 54
+    header = (b"BM" + (off + len(body)).to_bytes(4, "little") + b"\x00" * 4
+              + off.to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + b"\x00" * 20)
+    assert np.array_equal(M.decode_image(bytes(header) + bytes(body)), img)
+
+
+def test_compressed_codecs_still_raise_at_marked_boundary():
+    import pytest
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import multimodal as M
+
+    with pytest.raises(NotImplementedError, match="JPEG/PNG"):
+        M.decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")
+    with pytest.raises(NotImplementedError, match="JPEG/PNG"):
+        M.decode_image(b"\x89PNGxxxx")
+    with pytest.raises(ValueError):
+        M.decode_image(b"P6\n999 999\n255\nshort")  # truncated pixels
+    with pytest.raises(ValueError):
+        M.decode_image(b"GARBAGE")
