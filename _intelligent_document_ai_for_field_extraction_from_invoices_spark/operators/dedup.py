@@ -29,6 +29,12 @@ from .textstats import SPARK_SQL_WS_RUN, WS_RUN
 MINHASH_PERMS = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 
+# observability: connected_components records its last run here —
+# {"rounds": int, "fastpath": bool, "edge_counts": [symmetrized distinct
+# edges entering each round]} — so tests and BENCH.md can pin how fast a
+# graph shape converges without instrumenting Spark
+CC_LAST_STATS: dict = {}
+
 # Scoped-cache registry: hot-path operators cache DataFrames that feed
 # multiple plan branches (self-join sides, count+anti-join). The registry
 # lets a long-lived session release them all once results are materialized
@@ -590,7 +596,11 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
             return spark.createDataFrame(df.collect(), df.schema)
         return df.localCheckpoint(eager=True)
 
-    def _finish(labels: DataFrame) -> DataFrame:
+    def _finish(labels: DataFrame, rounds: int, fastpath: bool,
+                edge_counts: list) -> DataFrame:
+        CC_LAST_STATS.clear()
+        CC_LAST_STATS.update(rounds=rounds, fastpath=fastpath,
+                             edge_counts=edge_counts)
         register_cache(labels)
         return labels.select(F.col("node").alias(out_key),
                              F.col("comp").alias("component_id"))
@@ -612,8 +622,9 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
     # count also materializes the leaf-reset edge cache)
     n_nodes = labels.count()
     edges0.unpersist()
+    edge_counts = [n_edges]
     if n_edges == 0:
-        return _finish(labels)
+        return _finish(labels, 0, False, edge_counts)
     prev = labels
     it = 0
     while it < max_iters:
@@ -648,6 +659,7 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
             .distinct().persist()
         )
         n_edges = contracted.count()
+        edge_counts.append(n_edges)
         edges.unpersist()
         if prev is not None:
             prev.unpersist()
@@ -683,7 +695,7 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
                 # fixpoint, provably, with no pointer chains to resolve.
                 # Near-clique LSH graphs land here, skipping the jump
                 # epilogue's two confirmation jobs entirely.
-                return _finish(labels)
+                return _finish(labels, it, True, edge_counts)
             break
     else:
         # release_caches() frees both after the raise
@@ -712,7 +724,7 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
         jumped.unpersist()
         labels = broken.persist() if n_nodes <= collect_break_max else broken
         if cur_sum == prev_sum:
-            return _finish(labels)
+            return _finish(labels, it, False, edge_counts)
         prev_sum = cur_sum
     register_cache(labels)
     raise RuntimeError(

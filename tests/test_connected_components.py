@@ -124,3 +124,25 @@ def test_components_localcheckpoint_path_on_large_graph(spark):
     ).count()
     assert wrong == 0
     dedup.release_caches()
+
+
+def test_cc_stats_record_fastpath_and_rounds(spark):
+    """CC_LAST_STATS observability: a clique converges on the round-1 fast
+    path; a long chain takes multiple rounds with a shrinking edge set."""
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(a + 1, 6)],
+        "doc_a long, doc_b long")
+    dedup.connected_components(clique).collect()
+    assert dedup.CC_LAST_STATS["fastpath"] is True
+    assert dedup.CC_LAST_STATS["rounds"] == 1
+    dedup.release_caches()
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long")
+    dedup.connected_components(chain).collect()
+    st = dedup.CC_LAST_STATS
+    assert st["fastpath"] is False and st["rounds"] >= 2
+    counts = st["edge_counts"]
+    assert counts[0] == 126 and counts[-1] == 0
+    assert all(b < a for a, b in zip(counts, counts[1:]))  # strictly shrinks
+    dedup.release_caches()
