@@ -213,16 +213,27 @@ def cmd_compact(spark, args) -> dict:
     (sources/tables.py Catalog.compact)."""
     cat = Catalog(args.catalog)
     if args.table:
+        if not cat.exists(args.table):
+            raise SystemExit(
+                f"compact: table {args.table!r} not found in {args.catalog}")
         tables = [args.table]
     else:
         tables = [t for t in (lineage.RESULTS_TABLE, lineage.LINEAGE_TABLE,
                               lineage.CHECKPOINT_TABLE) if cat.exists(t)]
         if not tables:
             raise SystemExit(f"compact: no tables found in {args.catalog}")
+    # reconcile torn transactions FIRST (same discipline as run_extraction's
+    # start): compacting folds rows into untagged manifests, which would
+    # otherwise freeze a crashed run's orphan appends beyond rollback's
+    # reach and duplicate them on resume (review finding)
+    live = cat.txns(lineage.CHECKPOINT_TABLE) \
+        if cat.exists(lineage.CHECKPOINT_TABLE) else set()
     out = {}
     for t in tables:
-        stats = cat.compact(spark, t,
-                            target_file_bytes=args.target_mb * 1024 * 1024)
+        stats = cat.compact(
+            spark, t, target_file_bytes=args.target_mb * 1024 * 1024,
+            live_txns=live if t in (lineage.RESULTS_TABLE,
+                                    lineage.LINEAGE_TABLE) else None)
         if args.vacuum:
             stats["files_vacuumed"] = cat.vacuum(t)
         out[t] = stats

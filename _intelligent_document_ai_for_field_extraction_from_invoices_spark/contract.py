@@ -1048,10 +1048,10 @@ ORACLES: dict[str, str] = {
         )
         SELECT n_docs, bytes_out, n_failed,
                round(bytes_out / 2000000.0, 3) AS est_cpu_sec,
-               round(n_docs / (bytes_out / 2000000.0), 2)
-                 AS docs_per_cpu_sec,
-               round(n_docs / (bytes_out / 2000000.0 / 3600.0), 0)
-                 AS docs_per_cpu_hour,
+               round(n_docs / greatest(bytes_out / 2000000.0, 0.000000001),
+                     2) AS docs_per_cpu_sec,
+               round(n_docs / (greatest(bytes_out / 2000000.0, 0.000000001)
+                               / 3600.0), 0) AS docs_per_cpu_hour,
                round(bytes_out / 2000000.0 / 3600.0 * 0.01, 8)
                  AS est_cost_usd
         FROM t""",

@@ -212,14 +212,30 @@ def paragraph_dedup(docs: DataFrame, key: str = "doc_id",
     from pyspark.sql.types import IntegralType  # noqa: PLC0415
 
     did = F.col(_bq(key))
+    # \Q...\E: `sep` is a LITERAL separator, but F.split takes a Java
+    # regex — an unquoted '.' or '||' would corrupt the splits while
+    # array_join reassembles with the literal (review finding)
+    sep_rx = "\\Q" + sep + "\\E"
     paras = docs.select(
         did.alias("k"),
-        F.posexplode(F.split(F.col(_bq(text_col)), sep)).alias("pos", "p"),
+        F.posexplode(F.split(F.col(_bq(text_col)), sep_rx)).alias("pos", "p"),
     )
     integral = isinstance(docs.schema[key].dataType, IntegralType)
     if integral:
+        # the encoding is only injective while 0 <= pos < 1e6 and the doc
+        # key is non-negative and far from BIGINT overflow — enforce at
+        # runtime instead of silently attributing a paragraph to the
+        # wrong (doc, pos) on adversarial inputs (review finding)
+        bad = (F.col("pos") >= 1_000_000) | (F.col("k") < 0) \
+            | (F.col("k") > (1 << 62) // 1_000_000)
         paras = paras.withColumn(
-            "ekey", F.col("k") * F.lit(1_000_000) + F.col("pos"))
+            "ekey",
+            F.when(bad, F.raise_error(F.format_string(
+                "paragraph_dedup encoded-key bounds exceeded "
+                "(key=%s pos=%s): need 0 <= key < 2^62/1e6 and fewer than "
+                "1e6 paragraphs per doc — use a string key for the "
+                "struct-min path", F.col("k"), F.col("pos"))).cast("long"))
+            .otherwise(F.col("k") * F.lit(1_000_000) + F.col("pos")))
         winners = (
             paras.groupBy(F.md5("p").alias("d"))
             .agg(F.min("ekey").alias("ekey"))
@@ -243,7 +259,7 @@ def paragraph_dedup(docs: DataFrame, key: str = "doc_id",
     )
     n_paras = docs.select(
         did.alias("k"),
-        F.size(F.split(F.col(_bq(text_col)), sep)).alias("n_paras"))
+        F.size(F.split(F.col(_bq(text_col)), sep_rx)).alias("n_paras"))
     return (
         n_paras.join(rebuilt, "k", "left")
         .select(
@@ -274,18 +290,13 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame,
     on the doc key) and the left join back to the doc list. Shingles are
     md5 digests shared with the near-dup family (_shingles), so the
     broadcast carries fixed-width hashes, not raw n-gram strings."""
-    def _sh_stream(df: DataFrame, col: str):
+    def _sh_stream(df: DataFrame, col: str, *extra):
         ok = F.size(F.split(F.trim(F.col(_bq(col))), WS_RUN)) >= n
         return df.filter(ok).select(
+            *extra,
             F.explode(F.array_distinct(_shingles(col, n))).alias("sh"))
 
-    doc_sh = (
-        docs.filter(F.size(F.split(F.trim(F.col(_bq(text_col))),
-                                   WS_RUN)) >= n)
-        .select(F.col(_bq(key)).alias("k"),
-                F.explode(F.array_distinct(_shingles(text_col, n)))
-                .alias("sh"))
-    )
+    doc_sh = _sh_stream(docs, text_col, F.col(_bq(key)).alias("k"))
     bench_sh = _sh_stream(benchmark, bench_text_col).distinct()
     hits = (
         doc_sh.join(F.broadcast(bench_sh), "sh")
@@ -706,9 +717,17 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
             "(pathological component diameter — raise max_iters)")
 
     # jump-only epilogue: contracted-away nodes may still point into a
-    # label chain; double the pointers until the exact label-sum is stable
+    # label chain; double the pointers until the exact label-sum is stable.
+    # Its budget is INDEPENDENT of the contraction loop's (review finding:
+    # sharing max_iters made a graph that contracted empty on the last
+    # allowed round raise spuriously with the labels already at the
+    # fixpoint) — chains are at most `it` long and jumping doubles, so
+    # log2(it)+2 rounds always suffice; max_iters stays the user dial.
     prev_sum = None
-    while it < max_iters:
+    ep_budget = max(max_iters, it.bit_length() + 2)
+    ep = 0
+    while ep < ep_budget:
+        ep += 1
         it += 1
         st, jm = labels.alias("st"), labels.alias("jm")
         jumped = st.join(

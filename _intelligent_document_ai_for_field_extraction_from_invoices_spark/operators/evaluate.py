@@ -153,13 +153,17 @@ def run_performance_summary(lineage_df: DataFrame,
     so it is pinned by pytest instead
     (test_lineage_carries_measured_wall_ms)."""
     sec = F.sum("bytes_out") / F.lit(EST_BYTES_PER_SEC)
+    # an all-empty/all-failed run totals zero bytes; the throughput ratios
+    # must come out as clean finite numbers, not NaN/Infinity — mirrored
+    # EXACTLY in the DuckDB oracle (greatest on the same double)
+    sec_g = F.greatest(sec, F.lit(1e-9))
     return lineage_df.agg(
         F.sum("n_rows").alias("n_docs"),
         F.sum("bytes_out").alias("bytes_out"),
         F.sum("n_failed").alias("n_failed"),
         F.round(sec, 3).alias("est_cpu_sec"),
-        F.round(F.sum("n_rows") / sec, 2).alias("docs_per_cpu_sec"),
-        F.round(F.sum("n_rows") / (sec / 3600.0), 0)
+        F.round(F.sum("n_rows") / sec_g, 2).alias("docs_per_cpu_sec"),
+        F.round(F.sum("n_rows") / (sec_g / 3600.0), 0)
         .alias("docs_per_cpu_hour"),
         F.round(sec / 3600.0 * rate_per_hour, 8).alias("est_cost_usd"),
     )

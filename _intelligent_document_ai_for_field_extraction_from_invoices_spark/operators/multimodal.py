@@ -72,10 +72,12 @@ def decode_image(payload: bytes):
         w, h, maxval = (int(x) for x in m.groups())
         if maxval != 255:
             raise ValueError(f"unsupported PPM maxval {maxval}")
+        if len(payload) - m.end() < w * h * 3:
+            # checked up front: np.frombuffer would otherwise raise its
+            # own less-specific ValueError first (review finding)
+            raise ValueError("truncated PPM pixel data")
         pix = np.frombuffer(payload, dtype=np.uint8,
                             count=w * h * 3, offset=m.end())
-        if pix.size < w * h * 3:
-            raise ValueError("truncated PPM pixel data")
         return pix.reshape(h, w, 3).copy()
     if payload[:2] == b"BM":
         if len(payload) < 34:

@@ -249,12 +249,25 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     e.g. the `ann --build-index` table read back from a catalog — and the
     full-corpus bucket-assignment pass is skipped entirely (CLI:
     `cc --method embedding --index`). Bucket granularity then comes from
-    the index, so num_centroids/n_hint are ignored."""
+    the index, so num_centroids/n_hint are ignored. A STALE index is
+    checked for, not silently tolerated: the same-bucket inner join would
+    simply omit vectors missing from the assignment (they'd look
+    unclustered, and a keep-one filter would keep every copy), so any
+    uncovered corpus vector raises — rebuild the index after ingesting
+    new vectors (one anti-join count; clustering is multi-pass anyway)."""
     if assign is None:
         if num_centroids is None:
             n = n_hint if n_hint is not None else emb.count()
             num_centroids = max(8, n // 250)
         assign = ivf_assign(emb, num_centroids, key, vec_col)
+    else:
+        n_missing = emb.select(_bq(key)).join(
+            assign.select(_bq(key)), key, "left_anti").count()
+        if n_missing:
+            raise ValueError(
+                f"persisted assignment does not cover {n_missing} corpus "
+                "vectors (stale index?) — rebuild with ann --build-index "
+                "or drop --index to recompute")
     unit = _unit_vectors(emb, key, vec_col)
     tagged = unit.join(assign.select(key, "centroid_id"), key)
     tagged = register_cache(tagged.cache())
@@ -349,9 +362,16 @@ def plane_dot_sql(p: int, dim: int, element: str) -> str:
     identical doubles, so the sign test (>= 0) is bit-deterministic
     cross-engine — no rounding needed. `element` formats one 1-indexed
     vector element access, e.g. 'cast(element_at(embedding, {i}) AS
-    double)' (Spark) or 'CAST(embedding[{i}] AS DOUBLE)' (DuckDB)."""
+    double)' (Spark) or 'CAST(embedding[{i}] AS DOUBLE)' (DuckDB).
+
+    Each term is coalesce'd to 0 IN BOTH ENGINES (generated from this one
+    function, so parity holds): a vector shorter than `dim` projects on
+    its actual components zero-padded instead of NULLing the whole dot —
+    the review-flagged silent failure where every short vector landed in
+    bucket 0 and the hot-bucket cap dropped the lot."""
     terms = " ".join(
-        f"{'+' if plane_sign(p, j) > 0 else '-'} {element.format(i=j + 1)}"
+        f"{'+' if plane_sign(p, j) > 0 else '-'} "
+        f"coalesce({element.format(i=j + 1)}, 0.0)"
         for j in range(dim))
     return f"(0 {terms})"  # seed 0: exact, and pins left-assoc start
 
@@ -386,11 +406,18 @@ def _plane_matrix(num_planes: int, dim: int):
 
 
 def _corpus_dim(emb: DataFrame, vec_col: str) -> int:
-    row = emb.select(F.size(_bq(vec_col)).alias("d")).first()
-    if row is None or row.d is None or row.d <= 0:
+    """Derive the projection dim from a bounded sample: the MAX vector
+    size over up to 100 rows (a single malformed short row in the sample
+    must not truncate every projection — review finding; one arbitrary
+    `.first()` row did exactly that). Short vectors relative to the
+    derived dim are safe either way: the SQL tier zero-pads via coalesce
+    (plane_dot_sql) and the pandas tier raises loudly."""
+    rows = emb.select(F.size(_bq(vec_col)).alias("d")).limit(100).collect()
+    dims = [r.d for r in rows if r.d is not None and r.d > 0]
+    if not dims:
         raise ValueError("cannot derive embedding dim: empty corpus or "
-                         f"null {vec_col!r} in the sampled row")
-    return row.d
+                         f"null {vec_col!r} in the sampled rows")
+    return max(dims)
 
 
 def hyperplane_banded_buckets(emb: DataFrame, num_planes: int, bands: int,

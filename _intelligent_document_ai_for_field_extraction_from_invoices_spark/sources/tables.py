@@ -570,7 +570,8 @@ class Catalog:
         return n_removed
 
     def compact(self, spark: SparkSession, table: str,
-                target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+                target_file_bytes: int = 128 * 1024 * 1024,
+                live_txns: set[str] | None = None) -> dict:
         """Rewrite the current snapshot's data into right-sized files
         (Iceberg's rewriteDataFiles analogue). A streaming sink's per-batch
         appends accumulate small files — at 10^5 micro-batches a reader
@@ -586,19 +587,34 @@ class Catalog:
         streaming batches still hold after compaction. Old files become
         unreferenced and are reclaimed by the next `vacuum`.
 
-        Returns {"files_before", "files_after", "version"} (no-op dict
-        with version=None when already at or below the target count)."""
+        TORN-TRANSACTION DISCIPLINE (review finding): folding rows into an
+        untagged manifest permanently removes them from
+        `remove_orphan_appends`' reach, so compacting a table that may
+        hold appends whose marker commit never landed would freeze those
+        orphans in place and the resumed run would duplicate them. Pass
+        `live_txns` (the marker table's committed txn set) and compact
+        reconciles torn appends FIRST, exactly like run_extraction does on
+        start; multi-table writers (the CLI does this for the extraction
+        trio) must reconcile before compacting.
+
+        Returns {"files_before", "files_after", "version",
+        "orphans_removed"} (version=None when already at or below the
+        target count)."""
         import math  # noqa: PLC0415
 
         cur = self._read_current(table)
         if cur is None:
             raise FileNotFoundError(f"table not found: {table}")
+        n_orphans = 0
+        if live_txns is not None:
+            n_orphans = self.remove_orphan_appends(table, live_txns)
+            cur = self._read_current(table)
         files = self.scan_files(table)
         total = sum(os.path.getsize(f) for f in files)
         n_target = max(1, math.ceil(total / target_file_bytes))
         if len(files) <= n_target:
             return {"files_before": len(files), "files_after": len(files),
-                    "version": None}
+                    "version": None, "orphans_removed": n_orphans}
         # partition columns recorded for EVERY current file keep their
         # layout; a column only some files record cannot be trusted as a
         # table-level layout and is dropped from the rewrite
@@ -624,7 +640,7 @@ class Catalog:
                                schema=cur.get("schema"),
                                all_txns=self._parent_txns(table, cur))
         return {"files_before": len(files), "files_after": len(rows),
-                "version": version}
+                "version": version, "orphans_removed": n_orphans}
 
     def vacuum(self, table: str, keep_versions: int = 1) -> int:
         """Delete data files not referenced by the newest `keep_versions`

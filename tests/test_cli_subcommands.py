@@ -307,3 +307,36 @@ def test_cc_embedding_oversized_limit_still_finds_pairs(spark, tmp_path,
                "--method", "embedding", "--min-cosine", "0.4",
                "--limit", "1000000", "--run-id", "big")
     assert out["rows_written"] > 0
+
+
+def test_compact_reconciles_torn_transactions_before_folding(spark, tmp_path,
+                                                             capsys):
+    """Review regression (the critical compact finding): a crash between
+    the results append and the checkpoint marker leaves orphan rows whose
+    txn rollback is the ONLY thing preventing duplicates on resume.
+    Compacting folds rows into untagged manifests — beyond rollback's
+    reach — so the CLI must reconcile torn transactions first; resume
+    after compact must not duplicate a single row."""
+    import pytest as _pytest
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark import datagen
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.plans import lineage
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    pages = datagen.pages_from_documents(docs)
+    cat_dir = str(tmp_path / "cat")
+    cat = Catalog(cat_dir)
+    lineage.run_extraction(spark, pages, cat, "r1", num_partitions=8,
+                           fail_after_parts=3)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        lineage.run_extraction(spark, pages, cat, "r2", num_partitions=8,
+                               fail_before_checkpoint=True)
+    # torn state committed; now compact the catalog via the CLI
+    out = _run(capsys, "compact", "--catalog", cat_dir, "--vacuum")
+    assert out["tables"]["extracted_text"]["orphans_removed"] > 0
+
+    s3 = lineage.run_extraction(spark, pages, cat, "r3", num_partitions=8)
+    assert s3["parts_skipped"] == 3 and s3["parts_done"] == 5
+    rows = cat.read(spark, lineage.RESULTS_TABLE).select("url").collect()
+    urls = [r.url for r in rows]
+    assert len(urls) == len(set(urls)) == pages.count()  # zero duplicates

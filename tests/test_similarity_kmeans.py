@@ -226,3 +226,23 @@ def test_hyperplane_dim_validation(spark):
     pairs = similarity.hyperplane_lsh_pairs(emb, threshold=0.999)
     assert pairs.count() >= 0
     similarity.release_caches()
+
+
+def test_stale_persisted_assignment_raises(spark):
+    """Review regression: a persisted bucket assignment missing corpus
+    vectors must raise (the inner join would silently leave them
+    unclustered and keep-one would keep every copy)."""
+    import pytest
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.5]) for i in range(30)],
+        "vec_id long, embedding array<double>")
+    stale = similarity.ivf_assign(emb.filter("vec_id < 20"), 8)
+    with pytest.raises(ValueError, match="does not cover 10"):
+        similarity.cosine_near_dup_pairs(emb, assign=stale)
+    # a full-coverage assignment passes
+    full = similarity.ivf_assign(emb, 8)
+    similarity.cosine_near_dup_pairs(emb, assign=full).count()
+    similarity.release_caches()
