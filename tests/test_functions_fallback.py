@@ -133,9 +133,12 @@ def test_multimodal_plumbing(spark):
     assert all(again[i].digest == by_id[i].digest for i in by_id)
 
 
-def test_multimodal_real_decoder_is_stubbed(spark):
+def test_multimodal_real_decoder_rejects_non_image_blobs(spark):
+    # synthetic_assets payloads are raw bytes, not PPM/BMP: the real
+    # decode tier (round 5 decodes uncompressed images for real) must
+    # fail loudly on them, not hand back garbage features
     assets = multimodal.synthetic_assets(spark, n=2)
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+    with pytest.raises(Exception, match="unrecognized image payload"):
         multimodal.extract_features(assets, decoder="real").collect()
 
 
