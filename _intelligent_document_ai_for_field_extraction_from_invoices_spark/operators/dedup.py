@@ -212,10 +212,13 @@ def paragraph_dedup(docs: DataFrame, key: str = "doc_id",
     from pyspark.sql.types import IntegralType  # noqa: PLC0415
 
     did = F.col(_bq(key))
-    # \Q...\E: `sep` is a LITERAL separator, but F.split takes a Java
-    # regex — an unquoted '.' or '||' would corrupt the splits while
-    # array_join reassembles with the literal (review finding)
-    sep_rx = "\\Q" + sep + "\\E"
+    # java.util.regex.Pattern.quote semantics: `sep` is a LITERAL
+    # separator, but F.split takes a Java regex — an unquoted '.' or '||'
+    # would corrupt the splits while array_join reassembles with the
+    # literal, and a sep CONTAINING \E would end a naive \Q...\E quote
+    # early (review findings; the replace splits and re-quotes embedded
+    # \E exactly like Pattern.quote does)
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = docs.select(
         did.alias("k"),
         F.posexplode(F.split(F.col(_bq(text_col)), sep_rx)).alias("pos", "p"),

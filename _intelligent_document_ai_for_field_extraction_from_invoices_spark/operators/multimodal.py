@@ -91,7 +91,12 @@ def decode_image(payload: bytes):
             raise NotImplementedError(
                 f"only 24-bit uncompressed BMP decodes here (bpp={bpp}, "
                 f"compression={comp})")
+        if w <= 0 or h == 0:
+            # height < 0 is the valid top-down layout; width never is
+            raise ValueError(f"malformed BMP dimensions ({w}x{h})")
         stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        if len(payload) < off + stride * abs(h):
+            raise ValueError("truncated BMP pixel data")
         rows = []
         for r in range(abs(h)):
             lo = off + r * stride

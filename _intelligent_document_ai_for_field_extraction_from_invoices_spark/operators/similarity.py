@@ -361,8 +361,11 @@ def plane_dot_sql(p: int, dim: int, element: str) -> str:
     coefficients. Both engines evaluate the identical addition order on
     identical doubles, so the sign test (>= 0) is bit-deterministic
     cross-engine — no rounding needed. `element` formats one 1-indexed
-    vector element access, e.g. 'cast(element_at(embedding, {i}) AS
-    double)' (Spark) or 'CAST(embedding[{i}] AS DOUBLE)' (DuckDB).
+    vector element access, e.g. 'cast(try_element_at(embedding, {i}) AS
+    double)' (Spark — try_: ANSI mode makes plain element_at RAISE on an
+    out-of-bounds index, which would crash the whole job on one short
+    vector; review-verified) or 'CAST(embedding[{i}] AS DOUBLE)' (DuckDB,
+    NULL past the end).
 
     Each term is coalesce'd to 0 IN BOTH ENGINES (generated from this one
     function, so parity holds): a vector shorter than `dim` projects on
@@ -405,19 +408,19 @@ def _plane_matrix(num_planes: int, dim: int):
                      for p in range(num_planes)], dtype=np.float64)
 
 
-def _corpus_dim(emb: DataFrame, vec_col: str) -> int:
-    """Derive the projection dim from a bounded sample: the MAX vector
-    size over up to 100 rows (a single malformed short row in the sample
-    must not truncate every projection — review finding; one arbitrary
-    `.first()` row did exactly that). Short vectors relative to the
-    derived dim are safe either way: the SQL tier zero-pads via coalesce
-    (plane_dot_sql) and the pandas tier raises loudly."""
-    rows = emb.select(F.size(_bq(vec_col)).alias("d")).limit(100).collect()
-    dims = [r.d for r in rows if r.d is not None and r.d > 0]
-    if not dims:
+def _corpus_dim(emb: DataFrame, vec_col: str) -> tuple[int, int]:
+    """(min, max) vector size over the corpus — ONE exact narrow
+    aggregate, not a sample (review finding: a limit(100) sample is
+    partition-order dependent, so a mixed-dim corpus derived a different
+    dim on different runs and silently truncated the longer vectors).
+    The scan reads only array lengths and runs once per call; the
+    operator is multi-pass anyway."""
+    row = emb.agg(F.min(F.size(_bq(vec_col))).alias("lo"),
+                  F.max(F.size(_bq(vec_col))).alias("hi")).first()
+    if row is None or row.hi is None or row.hi <= 0:
         raise ValueError("cannot derive embedding dim: empty corpus or "
-                         f"null {vec_col!r} in the sampled rows")
-    return max(dims)
+                         f"null/empty {vec_col!r} everywhere")
+    return row.lo, row.hi
 
 
 def hyperplane_banded_buckets(emb: DataFrame, num_planes: int, bands: int,
@@ -446,7 +449,7 @@ def hyperplane_banded_buckets(emb: DataFrame, num_planes: int, bands: int,
     if engine == "sql":
         sig = signature_sql(
             num_planes, dim,
-            f"cast(element_at({_bq(vec_col)}, {{i}}) AS double)")
+            f"cast(try_element_at({_bq(vec_col)}, {{i}}) AS double)")
         sigs = emb.selectExpr(f"{_bq(key)} AS k", f"({sig}) AS sig")
         return sigs.selectExpr(
             "k",
@@ -464,17 +467,16 @@ def hyperplane_banded_buckets(emb: DataFrame, num_planes: int, bands: int,
     weights = 1 << np.arange(rpb, dtype=np.int64)  # bit weights within a band
 
     def _buckets(vs):
-        # vectors arrive as ndarray/list cells; a ragged batch (mixed dims
-        # shorter than the plane matrix) must fail loudly, not silently
-        # zero-bucket (ADVICE: element_at past the end is NULL in the SQL
-        # tier — here we raise instead)
-        mat = np.empty((len(vs), dim), dtype=np.float64)
+        # vectors arrive as ndarray/list cells; vectors shorter than the
+        # plane matrix zero-pad — IDENTICAL semantics to the SQL tier's
+        # try_element_at + coalesce(…, 0.0), so the two tiers can't
+        # diverge on a mixed-dim corpus (review finding; mixed corpora
+        # also require an explicit dim at the API boundary)
+        mat = np.zeros((len(vs), dim), dtype=np.float64)
         for i, v in enumerate(vs):
             a = np.asarray(v, dtype=np.float64)
-            if a.shape[0] < dim:
-                raise ValueError(
-                    f"embedding dim {a.shape[0]} < hyperplane dim {dim}")
-            mat[i] = a[:dim]
+            n = min(a.shape[0], dim)
+            mat[i, :n] = a[:n]
         bits = (mat @ plane_t) >= 0.0  # (n, planes)
         cols = [bits[:, b * rpb:(b + 1) * rpb].astype(np.int64) @ weights
                 for b in range(bands)]
@@ -503,11 +505,12 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.40,
     colliding in any band of their sign-projection signature become
     candidates; candidates are verified by exact cosine >= threshold.
 
-    `dim=None` derives the projection dim from the corpus (one sampled
-    row); an explicit `dim` larger than the corpus dim raises instead of
-    silently collapsing every vector into bucket 0 (in the SQL tier,
-    element_at past the array end is NULL, the plane dot goes NULL, and
-    every sign bit reads 0 — a near-empty result with no error).
+    `dim=None` derives the projection dim from an exact min/max size
+    aggregate over the corpus — a mixed-dim corpus must pass `dim`
+    explicitly (shorter vectors zero-pad identically in both tiers;
+    longer ones project on their first `dim` components). An explicit
+    `dim` beyond the corpus max raises instead of silently collapsing
+    every vector into bucket 0.
 
     Scale shape mirrors the text-LSH family: signatures come from
     `hyperplane_banded_buckets` (whole-stage-codegen unrolled sums at
@@ -526,13 +529,18 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.40,
     on the matmul tier, which has no compile wall."""
     from .dedup import _cap_hot_keys  # noqa: PLC0415
 
-    corpus_dim = _corpus_dim(emb, vec_col)
+    lo, hi = _corpus_dim(emb, vec_col)
     if dim is None:
-        dim = corpus_dim
-    elif dim > corpus_dim:
+        if lo != hi:
+            raise ValueError(
+                f"mixed embedding dims in corpus ({lo}..{hi}): pass dim "
+                "explicitly (vectors shorter than it zero-pad, longer "
+                "ones project on their first dim components)")
+        dim = hi
+    elif dim > hi:
         raise ValueError(
             f"hyperplane dim {dim} exceeds corpus embedding dim "
-            f"{corpus_dim}; pass dim<={corpus_dim} or dim=None to derive")
+            f"{hi}; pass dim<={hi} or dim=None to derive")
     banded = hyperplane_banded_buckets(emb, num_planes, bands, dim,
                                        key, vec_col, engine=engine)
     capped = _cap_hot_keys(banded, ["band", "bucket"], max_bucket)

@@ -234,3 +234,18 @@ def test_host_quota_sample_balances_hot_hosts(spark):
     kept2 = {r.doc_id for r in dedup.host_quota_sample(
         docs.repartition(13, "doc_id"), quota=50).collect()}
     assert kept2 == {r.doc_id for r in kept}
+
+
+def test_paragraph_dedup_literal_separators(spark):
+    """Review regressions: the separator is LITERAL — regex metachars and
+    even a sep containing \\E must split/reassemble consistently
+    (Pattern.quote semantics)."""
+    for sep in (".", "||", "\\E."):
+        text = sep.join(["alpha", "beta", "alpha"])
+        docs = spark.createDataFrame(
+            [(1, text), (2, "alpha")], "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               dedup.paragraph_dedup(docs, sep=sep).collect()}
+        assert got[1].clean_text == sep.join(["alpha", "beta"]), sep
+        assert got[1].n_dropped == 1
+        assert got[2].clean_text == ""  # duplicate of doc 1's winner

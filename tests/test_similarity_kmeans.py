@@ -246,3 +246,25 @@ def test_stale_persisted_assignment_raises(spark):
     full = similarity.ivf_assign(emb, 8)
     similarity.cosine_near_dup_pairs(emb, assign=full).count()
     similarity.release_caches()
+
+
+def test_hyperplane_mixed_dim_corpus_policy(spark):
+    """Review regressions: (1) derived dim on a mixed-dim corpus refuses
+    loudly (a sampled dim was partition-order dependent and silently
+    truncated longer vectors); (2) an explicit dim on a mixed corpus
+    zero-pads shorter vectors in BOTH tiers instead of crashing — under
+    ANSI mode plain element_at RAISES past the array end, so the SQL tier
+    must use try_element_at."""
+    import pytest
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0]), (3, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="mixed embedding dims"):
+        similarity.hyperplane_lsh_pairs(emb)
+    got = {(r.vec_a, r.vec_b) for r in similarity.hyperplane_lsh_pairs(
+        emb, dim=3, threshold=0.99).collect()}
+    assert got == {(2, 3)}  # identical full-dim pair; short vector survives
+    similarity.release_caches()
