@@ -571,10 +571,10 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
     work instead of only detecting convergence). Because contracted-away
     nodes may still hold a pointer into a chain (comp(a) = x with
     comp(x) = m), an edge-free graph finishes with jump-only rounds —
-    comp <- comp[comp] until the exact DECIMAL(38,0) label-sum is stable
-    (labels are monotone non-increasing, so sum-equality IS the fixpoint;
-    38,0 so overflow wrap-around can never fake equality at 10^12-scale
-    ids). Raises if `max_iters` rounds don't converge rather than
+    comp <- comp[comp] until every freshly-jumped label is itself a root
+    — read off the SAME job as the jump via a third self-join arm, so the
+    common one-chain case finishes in a single epilogue round with no
+    confirmation pass. Raises if the rounds don't converge rather than
     returning a silently-wrong partial labelling.
 
     Iterative-plan discipline (the part naive loops get wrong): each round
@@ -720,34 +720,45 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
             "(pathological component diameter — raise max_iters)")
 
     # jump-only epilogue: contracted-away nodes may still point into a
-    # label chain; double the pointers until the exact label-sum is stable.
-    # Its budget is INDEPENDENT of the contraction loop's (review finding:
-    # sharing max_iters made a graph that contracted empty on the last
-    # allowed round raise spuriously with the labels already at the
-    # fixpoint) — chains are at most `it` long and jumping doubles, so
-    # log2(it)+2 rounds always suffice; max_iters stays the user dial.
-    prev_sum = None
+    # label chain; double the pointers until no label moves. Stability is
+    # read off the SAME job as the jump — the join carries the old comp
+    # alongside the new one and a moved-count aggregate runs on the
+    # freshly persisted result, so a chain-free graph confirms in ONE
+    # epilogue round (the round-4 two-consecutive-sums scheme always paid
+    # a second confirmation round). The budget is INDEPENDENT of the
+    # contraction loop's (review finding: sharing max_iters made a graph
+    # that contracted empty on the last allowed round raise spuriously at
+    # the fixpoint) — chains are at most `it` long and jumping doubles,
+    # so log2(it)+2 rounds always suffice; max_iters stays the user dial.
     ep_budget = max(max_iters, it.bit_length() + 2)
     ep = 0
     while ep < ep_budget:
         ep += 1
         it += 1
-        st, jm = labels.alias("st"), labels.alias("jm")
+        # three arms of ONE self-join: st (node -> old comp), jm (the
+        # jump target), jm2 (the target's own comp). `unstable` asks
+        # whether the NEW label is already a root — if every node's new
+        # comp is a root, the next jump would be the identity, so THIS
+        # round's labels are the fixpoint and no confirmation round is
+        # needed (the moved-vs-last-round schemes always paid one).
+        st, jm, jm2 = labels.alias("st"), labels.alias("jm"),             labels.alias("jm2")
         jumped = st.join(
             jm, F.col("st.comp") == F.col("jm.node")
+        ).join(
+            jm2, F.col("jm.comp") == F.col("jm2.node")
         ).select(
-            F.col("st.node").alias("node"), F.col("jm.comp").alias("comp")
+            F.col("st.node").alias("node"), F.col("jm.comp").alias("comp"),
+            (F.col("jm2.comp") != F.col("jm.comp")).cast("long")
+            .alias("unstable"),
         ).persist()
-        cur_sum = jumped.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).first().s
+        n_unstable = jumped.agg(
+            F.sum("unstable").alias("u")).first().u or 0
         labels.unpersist()
-        broken = _leaf_reset(jumped, n_nodes)  # same per-round plan cut
+        broken = _leaf_reset(jumped.drop("unstable"), n_nodes)  # plan cut
         jumped.unpersist()
         labels = broken.persist() if n_nodes <= collect_break_max else broken
-        if cur_sum == prev_sum:
+        if n_unstable == 0:
             return _finish(labels, it, False, edge_counts)
-        prev_sum = cur_sum
     register_cache(labels)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
