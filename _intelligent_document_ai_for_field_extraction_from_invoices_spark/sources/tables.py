@@ -71,6 +71,17 @@ MERGE_MIN = 16
 SMALL_MANIFEST = 64
 # value summaries larger than this collapse to {min,max} bounds
 SUMMARY_MAX_VALUES = 16
+# optimistic-concurrency rebase attempts before giving up
+COMMIT_RETRIES = 5
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer created this snapshot version first. Writers that
+    can rebase (append/rollback/compact — their staged files are still
+    valid against a newer parent) retry automatically; if the version
+    file exists but `_current` never advanced, a writer crashed between
+    writing its snapshot and flipping the pointer — see
+    `Catalog.repair_orphan_version`."""
 
 
 def _pvalue(v) -> str:
@@ -304,13 +315,56 @@ class Catalog:
             "all_txns": sorted((all_txns or set()) | ({txn} if txn else set())),
             "committed_at": time.time(),
         }
-        with open(os.path.join(meta, f"v{version}.json"), "w") as f:
+        # optimistic concurrency (Iceberg's commit semantics): the version
+        # file is claimed ATOMICALLY via link(tmp, vN) — the fully-written
+        # content appears in one step, and a second writer racing for the
+        # same version gets EEXIST instead of silently overwriting (the
+        # old open("w") + last-flip-wins could LOSE one of two concurrent
+        # commits — e.g. a streaming append racing a compact job)
+        vpath = os.path.join(meta, f"v{version}.json")
+        tmp_v = vpath + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp_v, "w") as f:
             json.dump(snap, f)
+        try:
+            os.link(tmp_v, vpath)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} of table {table!r} already exists "
+                "(concurrent or crashed writer)") from None
+        finally:
+            os.remove(tmp_v)
         tmp = self._current_path(table) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._current_path(table))  # the atomic flip
         return version
+
+    def _commit_rebased(self, table: str, build, parent_version) -> int:
+        """Retry loop for rebasable commits: `build(cur)` returns the
+        _commit kwargs computed against the CURRENT snapshot; on a
+        version-claim conflict where `_current` has advanced (a concurrent
+        writer won), the commit rebases and retries — the staged data
+        files are parent-independent, so only metadata is recomputed. If
+        `_current` did NOT advance, the existing version file is a
+        crashed writer's orphan (wrote its snapshot, never flipped):
+        raising is the only safe move without a lock — a live writer in
+        its flip window is indistinguishable from a dead one, and
+        deleting the file out from under the former would tear its
+        commit. `repair_orphan_version` handles the dead case
+        explicitly."""
+        last_parent = parent_version
+        for _ in range(COMMIT_RETRIES):
+            try:
+                return self._commit(table, **build())
+            except ConcurrentCommitError:
+                cur = self._read_current(table)
+                cur_v = cur["version"] if cur else None
+                if cur_v == last_parent:
+                    raise
+                last_parent = cur_v
+        raise ConcurrentCommitError(
+            f"gave up committing to {table!r} after {COMMIT_RETRIES} "
+            "rebases (heavy concurrent write load)")
 
     @staticmethod
     def _upgrade_snap(snap: dict) -> dict:
@@ -369,15 +423,36 @@ class Catalog:
         meta = self._meta(table)
         if not os.path.isdir(meta):
             return []
+        cur = self._read_current(table)
+        cur_v = cur["version"] if cur else 0
         out = []
         for fn in sorted(os.listdir(meta)):
             if fn.startswith("v") and fn.endswith(".json"):
                 with open(os.path.join(meta, fn)) as f:
                     snap = self._upgrade_snap(json.load(f))
+                if snap["version"] > cur_v:
+                    continue  # claimed-but-never-flipped orphan of a
+                    # crashed/in-flight writer: not a committed snapshot
                 if with_files:
                     snap["files"] = self._snap_files(snap, missing_ok=True)
                 out.append(snap)
         return sorted(out, key=lambda s: s["version"])
+
+    def repair_orphan_version(self, table: str) -> int | None:
+        """Delete the orphan v(current+1).json a writer left by crashing
+        BETWEEN claiming its version file and flipping `_current` (new
+        commits then fail with ConcurrentCommitError because the next
+        version is permanently claimed). Call ONLY when no writer is
+        live — an active writer inside its tiny claim-to-flip window is
+        indistinguishable from a dead one, and deleting its claim would
+        tear its commit. Returns the removed version, or None."""
+        cur = self._read_current(table)
+        nxt = (cur["version"] if cur else 0) + 1
+        p = os.path.join(self._meta(table), f"v{nxt}.json")
+        if os.path.exists(p):
+            os.remove(p)
+            return nxt
+        return None
 
     def _stage(self, table: str, df: DataFrame,
                partition_by: list[str] | None = None,
@@ -425,14 +500,23 @@ class Catalog:
                   txn: str | None = None) -> int:
         """Replace the table's contents. `txn` tags the commit the same way
         append's does, so writers with replace semantics (e.g. an index
-        rebuild) get the same exactly-once replay detection via txns()."""
+        rebuild) get the same exactly-once replay detection via txns().
+        A commit conflict rebases and retries: replace semantics clobber
+        whatever the concurrent writer committed by DESIGN (the overwrite
+        serializes after it)."""
         rows = self._stage(table, df, partition_by, txn=txn)
-        cur = self._read_current(table)
         entry = self._write_manifest(table, rows, [txn], op="overwrite")
-        return self._commit(table, [entry], "overwrite",
-                            cur["version"] if cur else None, txn=txn,
-                            schema=df.schema.json(),
-                            all_txns=self._parent_txns(table, cur))
+        cur0 = self._read_current(table)
+
+        def build():
+            cur = self._read_current(table)
+            return dict(manifests=[entry], operation="overwrite",
+                        parent=cur["version"] if cur else None, txn=txn,
+                        schema=df.schema.json(),
+                        all_txns=self._parent_txns(table, cur))
+
+        return self._commit_rebased(table, build,
+                                    cur0["version"] if cur0 else None)
 
     @staticmethod
     def _merge_schema(old_json: str, new_schema) -> str:
@@ -473,19 +557,31 @@ class Catalog:
         Schema evolution is additive: an appended frame may carry NEW
         columns (recorded nullable; readers see null for pre-evolution
         files via the recorded-schema read path); a type change on an
-        existing column raises."""
+        existing column raises.
+
+        Concurrent writers are safe: the staged files and the new
+        manifest are parent-independent, so a commit conflict (another
+        append/compact won the version) rebases the manifest LIST against
+        the fresh snapshot and retries — neither writer's rows are lost
+        (Iceberg's optimistic append)."""
         rows = self._stage(table, df, partition_by, txn=txn)
-        cur = self._read_current(table)
         entry = self._write_manifest(table, rows, [txn])
-        entries = (list(cur["manifests"]) if cur else []) + [entry]
-        entries = self._maybe_merge(table, entries)
-        old_schema = (cur or {}).get("schema")
-        schema = (self._merge_schema(old_schema, df.schema)
-                  if old_schema else df.schema.json())
-        return self._commit(table, entries, "append",
-                            cur["version"] if cur else None, txn=txn,
-                            schema=schema,
-                            all_txns=self._parent_txns(table, cur))
+        cur0 = self._read_current(table)
+
+        def build():
+            cur = self._read_current(table)
+            entries = (list(cur["manifests"]) if cur else []) + [entry]
+            entries = self._maybe_merge(table, entries)
+            old_schema = (cur or {}).get("schema")
+            schema = (self._merge_schema(old_schema, df.schema)
+                      if old_schema else df.schema.json())
+            return dict(manifests=entries, operation="append",
+                        parent=cur["version"] if cur else None, txn=txn,
+                        schema=schema,
+                        all_txns=self._parent_txns(table, cur))
+
+        return self._commit_rebased(table, build,
+                                    cur0["version"] if cur0 else None)
 
     def _parent_txns(self, table: str, cur: dict | None) -> set[str]:
         """Cumulative txn set to chain into a child commit. Read from the
@@ -535,39 +631,51 @@ class Catalog:
         Manifest-level surgery: an all-dead manifest is dropped from the
         list; a manifest the merge step mixed (dead + live txns) is
         rewritten without the dead files — O(affected manifests), never
-        O(table files)."""
-        cur = self._read_current(table)
-        if cur is None:
-            return 0
-        keep_entries: list[dict] = []
-        n_removed = 0
-        changed = False
-        for e in cur["manifests"]:
-            if e.get("op", "append") != "append":
-                keep_entries.append(e)  # overwrite commit: never a rollback
-                continue                # candidate (docstring contract)
-            txns = set(e.get("txns") or [])
-            dead = {t for t in txns if t not in live_txns}
-            if not dead:
-                keep_entries.append(e)
-                continue
-            # a manifest with dead txns is always REWRITTEN from its rows,
-            # never dropped by its entry-level txn set alone: the set omits
-            # untagged (txn=None) rows a merge may have folded in, and
-            # dropping the whole manifest would silently lose them (review
-            # finding — 'untagged appends are always kept' is the contract)
-            rows = self._read_manifest(e)
-            live_rows = [r for r in rows if r.get("txn") not in dead]
-            n_removed += len(rows) - len(live_rows)
-            changed = True
-            if live_rows:
-                keep_entries.append(self._write_manifest(
-                    table, live_rows, [r.get("txn") for r in live_rows]))
-        if changed and n_removed:
-            self._commit(table, keep_entries, "rollback", cur["version"],
-                         schema=cur.get("schema"),
-                         all_txns=self._parent_txns(table, cur))
-        return n_removed
+        O(table files). A commit conflict recomputes the surgery against
+        the fresh snapshot and retries (the surgery is a pure function of
+        the current manifest list)."""
+        last_parent: int | None = -1
+        for _ in range(COMMIT_RETRIES):
+            cur = self._read_current(table)
+            if cur is None:
+                return 0
+            keep_entries: list[dict] = []
+            n_removed = 0
+            changed = False
+            for e in cur["manifests"]:
+                if e.get("op", "append") != "append":
+                    keep_entries.append(e)  # overwrite commit: never a
+                    continue                # rollback candidate
+                txns = set(e.get("txns") or [])
+                dead = {t for t in txns if t not in live_txns}
+                if not dead:
+                    keep_entries.append(e)
+                    continue
+                # a manifest with dead txns is always REWRITTEN from its
+                # rows, never dropped by its entry-level txn set alone: the
+                # set omits untagged (txn=None) rows a merge may have folded
+                # in, and dropping the whole manifest would silently lose
+                # them ('untagged appends are always kept' is the contract)
+                rows = self._read_manifest(e)
+                live_rows = [r for r in rows if r.get("txn") not in dead]
+                n_removed += len(rows) - len(live_rows)
+                changed = True
+                if live_rows:
+                    keep_entries.append(self._write_manifest(
+                        table, live_rows, [r.get("txn") for r in live_rows]))
+            if not (changed and n_removed):
+                return 0
+            try:
+                self._commit(table, keep_entries, "rollback", cur["version"],
+                             schema=cur.get("schema"),
+                             all_txns=self._parent_txns(table, cur))
+                return n_removed
+            except ConcurrentCommitError:
+                if cur["version"] == last_parent:
+                    raise
+                last_parent = cur["version"]
+        raise ConcurrentCommitError(
+            f"gave up rolling back {table!r} after {COMMIT_RETRIES} rebases")
 
     def compact(self, spark: SparkSession, table: str,
                 target_file_bytes: int = 128 * 1024 * 1024,
@@ -596,6 +704,13 @@ class Catalog:
         reconciles torn appends FIRST, exactly like run_extraction does on
         start; multi-table writers (the CLI does this for the extraction
         trio) must reconcile before compacting.
+
+        A commit CONFLICT aborts with ConcurrentCommitError instead of
+        rebasing: compact's snapshot REPLACES the manifest list it read,
+        so blind-rebasing over a concurrent append would silently drop
+        that append's rows — the caller re-runs the whole compaction
+        against the fresh snapshot (staged files become vacuum-able
+        orphans).
 
         Returns {"files_before", "files_after", "version",
         "orphans_removed"} (version=None when already at or below the

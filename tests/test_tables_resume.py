@@ -485,3 +485,52 @@ def test_catalog_model_random_op_sequences(spark, tmp_path):
             got = {(i, None) for i, _ in got}
         assert got == want, f"step {step} op {op}"
         assert cat.txns("m") == model_txns, f"step {step} op {op}"
+
+
+def test_concurrent_appends_lose_no_commits(spark, tmp_path):
+    """Optimistic concurrency: parallel appends race for version files;
+    losers rebase and retry, so EVERY writer's rows and txn land (the old
+    last-flip-wins protocol silently dropped one of two racing commits)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cat = Catalog(str(tmp_path))
+
+    def one(i: int) -> int:
+        return cat.append("t", spark.range(i * 10, i * 10 + 10),
+                          txn=f"w:{i}")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = list(ex.map(one, range(8)))
+    assert sorted(versions) == list(range(1, 9))  # serialized, none lost
+    assert sorted(r.id for r in cat.read(spark, "t").collect()) == \
+        list(range(80))
+    assert cat.txns("t") == {f"w:{i}" for i in range(8)}
+
+
+def test_orphan_version_claim_blocks_until_repaired(spark, tmp_path):
+    """A writer that crashed between claiming v<N> and flipping _current
+    leaves the next version permanently claimed: commits fail loudly
+    (never silently overwrite a possibly-live writer's claim), snapshots()
+    hides the unflipped orphan, and repair_orphan_version unblocks."""
+    import json as _json
+    import os
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.sources.tables import (
+        ConcurrentCommitError,
+    )
+
+    cat = Catalog(str(tmp_path))
+    cat.append("t", spark.range(5), txn="a")
+    # simulate the crashed writer: claim v2 without flipping _current
+    orphan = os.path.join(str(tmp_path), "t", "_meta", "v2.json")
+    with open(orphan, "w") as f:
+        _json.dump({"version": 2, "parent": 1, "operation": "append",
+                    "manifests": [], "txn": "dead", "schema": None,
+                    "all_txns": ["a", "dead"], "committed_at": 0}, f)
+    assert [s["version"] for s in cat.snapshots("t")] == [1]  # orphan hidden
+    with pytest.raises(ConcurrentCommitError):
+        cat.append("t", spark.range(5, 8), txn="b")
+    assert cat.repair_orphan_version("t") == 2
+    cat.append("t", spark.range(5, 8), txn="b")
+    assert cat.read(spark, "t").count() == 8
+    assert cat.txns("t") == {"a", "b"}
