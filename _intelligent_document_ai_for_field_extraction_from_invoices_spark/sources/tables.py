@@ -71,8 +71,14 @@ MERGE_MIN = 16
 SMALL_MANIFEST = 64
 # value summaries larger than this collapse to {min,max} bounds
 SUMMARY_MAX_VALUES = 16
-# optimistic-concurrency rebase attempts before giving up
-COMMIT_RETRIES = 5
+# optimistic-concurrency rebase attempts before giving up. A retry is only
+# consumed when ANOTHER writer's commit landed, so N retries tolerate N
+# concurrent committers — not N time slices.
+COMMIT_RETRIES = 16
+# how long a conflicting writer waits for the version-claim winner to flip
+# _current before concluding the claim is a crashed writer's orphan
+FLIP_WAIT_TRIES = 40
+FLIP_WAIT_SECS = 0.025
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -339,29 +345,41 @@ class Catalog:
         os.replace(tmp, self._current_path(table))  # the atomic flip
         return version
 
-    def _commit_rebased(self, table: str, build, parent_version) -> int:
+    def _await_flip(self, table: str, stuck_version) -> bool:
+        """After losing a version-claim race at parent `stuck_version`,
+        wait (bounded) for the winner to flip `_current`. A LIVE winner
+        flips within its claim-to-flip window (two tiny file writes) —
+        milliseconds; a writer that died in that window never will.
+        Returns True once `_current` has advanced past `stuck_version`
+        (rebase and retry), False if it never moved (treat the claim as a
+        crashed writer's orphan — raising beats deleting it, because a
+        pathologically descheduled live winner would be torn by a
+        deletion; `repair_orphan_version` is the explicit remedy)."""
+        for _ in range(FLIP_WAIT_TRIES):
+            cur = self._read_current(table)
+            if (cur["version"] if cur else None) != stuck_version:
+                return True
+            time.sleep(FLIP_WAIT_SECS)
+        return False
+
+    def _commit_rebased(self, table: str, build) -> int:
         """Retry loop for rebasable commits: `build(cur)` returns the
-        _commit kwargs computed against the CURRENT snapshot; on a
-        version-claim conflict where `_current` has advanced (a concurrent
-        writer won), the commit rebases and retries — the staged data
-        files are parent-independent, so only metadata is recomputed. If
-        `_current` did NOT advance, the existing version file is a
-        crashed writer's orphan (wrote its snapshot, never flipped):
-        raising is the only safe move without a lock — a live writer in
-        its flip window is indistinguishable from a dead one, and
-        deleting the file out from under the former would tear its
-        commit. `repair_orphan_version` handles the dead case
-        explicitly."""
-        last_parent = parent_version
+        _commit kwargs computed against the snapshot read for THIS
+        attempt; on a version-claim conflict the loop waits for the
+        winner's flip (`_await_flip` — a live winner inside its
+        claim-to-flip window must not be misdiagnosed as a crashed
+        orphan) and rebases against the advanced snapshot. The staged
+        data files are parent-independent, so only metadata is
+        recomputed. A retry is consumed only when another commit actually
+        landed."""
         for _ in range(COMMIT_RETRIES):
+            cur = self._read_current(table)
             try:
-                return self._commit(table, **build())
+                return self._commit(table, **build(cur))
             except ConcurrentCommitError:
-                cur = self._read_current(table)
-                cur_v = cur["version"] if cur else None
-                if cur_v == last_parent:
+                if not self._await_flip(table,
+                                        cur["version"] if cur else None):
                     raise
-                last_parent = cur_v
         raise ConcurrentCommitError(
             f"gave up committing to {table!r} after {COMMIT_RETRIES} "
             "rebases (heavy concurrent write load)")
@@ -389,6 +407,15 @@ class Catalog:
         if version is None:
             snap = self._read_current(table)
         else:
+            cur = self._read_current(table)
+            if cur is None or version > cur["version"]:
+                # a v<N>.json beyond _current is a claimed-but-never-
+                # flipped orphan of a crashed/in-flight writer, NOT a
+                # committed snapshot — time travel must refuse it just
+                # like snapshots() hides it (review finding)
+                raise FileNotFoundError(
+                    f"version {version} of table {table!r} is not a "
+                    "committed snapshot")
             with open(os.path.join(self._meta(table), f"v{version}.json")) as f:
                 snap = json.load(f)
         if snap is None:
@@ -506,17 +533,14 @@ class Catalog:
         serializes after it)."""
         rows = self._stage(table, df, partition_by, txn=txn)
         entry = self._write_manifest(table, rows, [txn], op="overwrite")
-        cur0 = self._read_current(table)
 
-        def build():
-            cur = self._read_current(table)
+        def build(cur):
             return dict(manifests=[entry], operation="overwrite",
                         parent=cur["version"] if cur else None, txn=txn,
                         schema=df.schema.json(),
                         all_txns=self._parent_txns(table, cur))
 
-        return self._commit_rebased(table, build,
-                                    cur0["version"] if cur0 else None)
+        return self._commit_rebased(table, build)
 
     @staticmethod
     def _merge_schema(old_json: str, new_schema) -> str:
@@ -566,10 +590,8 @@ class Catalog:
         (Iceberg's optimistic append)."""
         rows = self._stage(table, df, partition_by, txn=txn)
         entry = self._write_manifest(table, rows, [txn])
-        cur0 = self._read_current(table)
 
-        def build():
-            cur = self._read_current(table)
+        def build(cur):
             entries = (list(cur["manifests"]) if cur else []) + [entry]
             entries = self._maybe_merge(table, entries)
             old_schema = (cur or {}).get("schema")
@@ -580,8 +602,7 @@ class Catalog:
                         schema=schema,
                         all_txns=self._parent_txns(table, cur))
 
-        return self._commit_rebased(table, build,
-                                    cur0["version"] if cur0 else None)
+        return self._commit_rebased(table, build)
 
     def _parent_txns(self, table: str, cur: dict | None) -> set[str]:
         """Cumulative txn set to chain into a child commit. Read from the
@@ -613,9 +634,15 @@ class Catalog:
         if "all_txns" in cur:
             self.last_txn_stats = {"meta_files_opened": 2}
             return set(cur["all_txns"])
-        # legacy table (pre-summary): per-version txn fields, no manifests
+        # legacy table (pre-summary): per-version txn fields, no manifests.
+        # snapshots() re-reads _current (+2 opens) and opens every listed
+        # version json, including orphans it then hides — count them all
+        # (review finding: the old 2+len(snaps) figure undercounted)
+        meta = self._meta(table)
+        n_v = len([fn for fn in os.listdir(meta)
+                   if fn.startswith("v") and fn.endswith(".json")])             if os.path.isdir(meta) else 0
         snaps = self.snapshots(table)
-        self.last_txn_stats = {"meta_files_opened": 2 + len(snaps)}
+        self.last_txn_stats = {"meta_files_opened": 4 + n_v}
         return {s["txn"] for s in snaps if s.get("txn")}
 
     def remove_orphan_appends(self, table: str, live_txns: set[str]) -> int:
@@ -631,14 +658,27 @@ class Catalog:
         Manifest-level surgery: an all-dead manifest is dropped from the
         list; a manifest the merge step mixed (dead + live txns) is
         rewritten without the dead files — O(affected manifests), never
-        O(table files). A commit conflict recomputes the surgery against
-        the fresh snapshot and retries (the surgery is a pure function of
-        the current manifest list)."""
-        last_parent: int | None = -1
+        O(table files).
+
+        Concurrency discipline (review finding): the dead-candidate set
+        is FROZEN at the first snapshot read — a commit conflict retries
+        the surgery against the fresh manifest list, but a txn that only
+        appeared AFTER the first read (a concurrent writer's append,
+        whose marker may have landed after the caller computed
+        `live_txns`) is never a candidate, so the retry loop cannot
+        widen the caller's stale view into deleting a committed
+        transaction. Reconciliation remains a single-reconciler startup
+        operation with respect to writers of the SAME marker protocol."""
+        candidates: set[str] | None = None
         for _ in range(COMMIT_RETRIES):
             cur = self._read_current(table)
             if cur is None:
                 return 0
+            if candidates is None:
+                seen = {t for e in cur["manifests"]
+                        if e.get("op", "append") == "append"
+                        for t in (e.get("txns") or [])}
+                candidates = seen - set(live_txns)
             keep_entries: list[dict] = []
             n_removed = 0
             changed = False
@@ -647,7 +687,7 @@ class Catalog:
                     keep_entries.append(e)  # overwrite commit: never a
                     continue                # rollback candidate
                 txns = set(e.get("txns") or [])
-                dead = {t for t in txns if t not in live_txns}
+                dead = txns & candidates
                 if not dead:
                     keep_entries.append(e)
                     continue
@@ -671,9 +711,8 @@ class Catalog:
                              all_txns=self._parent_txns(table, cur))
                 return n_removed
             except ConcurrentCommitError:
-                if cur["version"] == last_parent:
+                if not self._await_flip(table, cur["version"]):
                     raise
-                last_parent = cur["version"]
         raise ConcurrentCommitError(
             f"gave up rolling back {table!r} after {COMMIT_RETRIES} rebases")
 
@@ -837,6 +876,16 @@ class Catalog:
                 p = os.path.join(meta, fn)
                 if os.path.realpath(p) not in keep_manifests:
                     os.remove(p)
+            elif ".tmp." in fn:
+                # claim/flip temp files a writer left by crashing between
+                # its tmp write and link/replace; age-gated so a LIVE
+                # writer mid-claim is never raced (review finding)
+                p = os.path.join(meta, fn)
+                try:
+                    if time.time() - os.path.getmtime(p) > 600:
+                        os.remove(p)
+                except OSError:
+                    pass
         # expired version jsons: everything older than the newest
         # keep_versions (and never _current's version), compacted to one
         # history line each. Cumulative txn summaries ride in the CURRENT

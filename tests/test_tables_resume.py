@@ -528,6 +528,9 @@ def test_orphan_version_claim_blocks_until_repaired(spark, tmp_path):
                     "manifests": [], "txn": "dead", "schema": None,
                     "all_txns": ["a", "dead"], "committed_at": 0}, f)
     assert [s["version"] for s in cat.snapshots("t")] == [1]  # orphan hidden
+    # time travel must refuse the unflipped claim too (review finding)
+    with pytest.raises(FileNotFoundError, match="not a committed snapshot"):
+        cat.read(spark, "t", version=2)
     with pytest.raises(ConcurrentCommitError):
         cat.append("t", spark.range(5, 8), txn="b")
     assert cat.repair_orphan_version("t") == 2
