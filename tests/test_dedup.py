@@ -249,3 +249,56 @@ def test_paragraph_dedup_literal_separators(spark):
         assert got[1].clean_text == sep.join(["alpha", "beta"]), sep
         assert got[1].n_dropped == 1
         assert got[2].clean_text == ""  # duplicate of doc 1's winner
+
+
+def test_paragraph_dedup_matches_python_reference_on_random_corpora(spark):
+    """Property: on seeded random corpora (shared paragraph pool so
+    collisions are dense), the distributed paragraph dedup equals a
+    sequential first-occurrence reference."""
+    import random
+
+    rng = random.Random(0xA11CE)
+    pool = [f"para {i} " + " ".join(
+        rng.choices("aa bb cc dd ee".split(), k=3)) for i in range(12)]
+    rows = []
+    for d in range(40):
+        n = rng.randint(0, 6)
+        rows.append((d, "\n".join(rng.choice(pool) for _ in range(n))))
+
+    seen: set[str] = set()
+    expect = {}
+    for d, text in rows:
+        paras = text.split("\n")
+        kept = []
+        for p in paras:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        expect[d] = ("\n".join(kept), len(kept), len(paras) - len(kept))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+           for r in dedup.paragraph_dedup(docs).collect()}
+    assert got == expect
+
+
+def test_host_quota_sample_matches_python_reference(spark):
+    """Property: the md5-uniform accept test reproduces exactly in pure
+    Python (the operator's determinism claim, independent of DuckDB)."""
+    import hashlib
+    import random
+
+    rng = random.Random(0xB0B)
+    rows = [(i, f"h{rng.randint(0, 4)}") for i in range(300)]
+    counts: dict[str, int] = {}
+    for _, h in rows:
+        counts[h] = counts.get(h, 0) + 1
+    quota = 20
+    expect = {i for i, h in rows
+              if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+              * counts[h] < quota * (1 << 32)}
+
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r.doc_id for r in
+           dedup.host_quota_sample(docs, quota=quota).collect()}
+    assert got == expect
