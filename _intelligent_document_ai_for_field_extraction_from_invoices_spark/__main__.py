@@ -32,6 +32,7 @@ import sys
 from pyspark.sql import functions as F
 
 from . import datagen
+from .operators import curate as curate_ops
 from .operators import dedup as dedup_ops
 from .operators import evaluate as evaluate_ops
 from .operators import similarity
@@ -114,7 +115,10 @@ def cmd_extract(spark, args) -> dict:
     if args.vacuum:
         for t in (lineage.RESULTS_TABLE, lineage.LINEAGE_TABLE,
                   lineage.CHECKPOINT_TABLE):
-            n_vacuumed += catalog.vacuum(t)
+            # min_age_secs=0: the CLI run is the only writer of its own
+            # catalog, so the in-flight-commit age gate can be waived to
+            # reclaim this run's superseded files immediately
+            n_vacuumed += catalog.vacuum(t, min_age_secs=0)
 
     results = catalog.read(spark, lineage.RESULTS_TABLE)
     summary = results.agg(
@@ -144,6 +148,32 @@ def cmd_report(spark, args) -> dict:
     round 4) — and the emitted `scan` stats show exactly how much the
     prune skipped."""
     cat = Catalog(args.catalog)
+    if args.internals:
+        # engine observability (round-5 verdict #8): the catalog's own
+        # scale claims as user-visible numbers — per table, how many
+        # metadata files the O(1) replay check actually opened, what the
+        # manifest-level prune saw, and how bounded _meta is
+        import os as _os
+
+        tables = {}
+        for t in sorted(_os.listdir(cat.root)):
+            if not cat.exists(t):
+                continue
+            txns = cat.txns(t)
+            files = cat.scan_files(t)
+            snaps = cat.snapshots(t)
+            meta = cat._meta(t)
+            tables[t] = {
+                "versions_retained": len(snaps),
+                "current_version": snaps[-1]["version"],
+                "manifests": len(snaps[-1]["manifests"]),
+                "data_files": len(files),
+                "txns_committed": len(txns),
+                "txn_check_meta_opens": dict(cat.last_txn_stats),
+                "scan": dict(cat.last_scan_stats),
+                "meta_dir_files": len(_os.listdir(meta)),
+            }
+        return {"internals": tables}
     if args.day and (args.since or args.until):
         raise SystemExit("report: --day is exclusive with --since/--until")
     if args.lineage and (args.day or args.since or args.until):
@@ -235,7 +265,9 @@ def cmd_compact(spark, args) -> dict:
             live_txns=live if t in (lineage.RESULTS_TABLE,
                                     lineage.LINEAGE_TABLE) else None)
         if args.vacuum:
-            stats["files_vacuumed"] = cat.vacuum(t)
+            # immediate reclaim is safe here only because --vacuum is
+            # documented as a no-concurrent-writers maintenance flag
+            stats["files_vacuumed"] = cat.vacuum(t, min_age_secs=0)
         out[t] = stats
     return {"tables": out}
 
@@ -306,8 +338,11 @@ def cmd_cc(spark, args) -> dict:
         else:  # hyperplane
             pairs = similarity.hyperplane_lsh_pairs(
                 src, threshold=0.40 if thr is None else thr)
+    # every pair family here emits DISTINCT key_a < key_b rows, so the
+    # symmetrize-dedup shuffle inside connected_components is skippable
     comps = dedup_ops.connected_components(pairs, key_a=ka, key_b=kb,
-                                           out_key=out_key)
+                                           out_key=out_key,
+                                           pairs_canonical=True)
     cat = Catalog(args.output)
     # embedding clusters land in their OWN table: appending a vec_id
     # schema into the text families' doc_id table would silently corrupt
@@ -316,6 +351,10 @@ def cmd_cc(spark, args) -> dict:
                   else "vec_neardup_components")
     out = _emit(cat, comp_table, comps, args.run_id,
                 release=not args.keep_one)
+    if dedup_ops.CC_LAST_STATS:
+        # engine observability (round-5 verdict #8): how fast the graph
+        # contracted — rounds, per-round edge counts, fast-path hit
+        out["cc_stats"] = dict(dedup_ops.CC_LAST_STATS)
     if args.keep_one:
         # comps' label/edge caches are still registered, so this reuses the
         # clustering instead of re-running the iterative loop
@@ -348,6 +387,57 @@ def cmd_decontaminate(spark, args) -> dict:
     flags = dedup_ops.contamination_flags(docs, bench, n=args.ngram)
     return _emit(Catalog(args.output), "contamination_flags", flags,
                  args.run_id)
+
+
+def cmd_curate(spark, args) -> dict:
+    """The composed pretraining curation pipeline (operators/curate.py):
+    host quota -> exact dedup -> near-dup keep-one -> decontaminate ->
+    quality filter, in pinned order. EACH STAGE commits its survivor-key
+    table (`curate_<stage>`) exactly-once per run id, and the next stage
+    reads the committed keys back — so a crashed run resumes at the failed
+    stage with leaf-plan inputs, and a replayed run id is a per-stage
+    no-op. The final survivors (full rows) land in `docs_curated`."""
+    docs = _docs(spark, args).persist()
+    bench = (spark.read.parquet(args.benchmark) if args.benchmark
+             else docs.filter(F.col("doc_id") % args.benchmark_mod == 1))
+    cat = Catalog(args.output)
+    todo = curate_ops.STAGE_ORDER if not args.stages else [
+        s for s in curate_ops.STAGE_ORDER if s in args.stages]
+    unknown = set(args.stages or []) - set(curate_ops.STAGE_ORDER)
+    if unknown:
+        raise SystemExit(f"curate: unknown stages {sorted(unknown)} "
+                         f"(choose from {curate_ops.STAGE_ORDER})")
+    cur = docs
+    stages_out = {}
+    for stage in todo:
+        table = f"curate_{stage}"
+        txn = f"cli:{table}:{args.run_id}"
+        replayed = cat.exists(table) and txn in cat.txns(table)
+        if not replayed:
+            survivors = curate_ops.run_stage(
+                stage, cur, benchmark=bench, quota=args.quota,
+                min_quality=args.min_quality,
+                max_dup_line_frac=args.max_dup_line_frac)
+            # keys only: stage state is a survivor SET; overwrite keeps a
+            # re-run with a new run id from unioning two runs' sets
+            _emit(cat, table, survivors.select("doc_id"), args.run_id,
+                  release=True, mode="overwrite")
+        # read the COMMITTED keys back: the next stage starts from a leaf
+        # plan (no cross-stage plan growth) and a resumed run starts from
+        # durable state rather than recomputation
+        keys = cat.read(spark, table)
+        cur = docs.join(keys, "doc_id", "left_semi")
+        stages_out[stage] = {"table": table, "txn": txn,
+                             "replayed": replayed,
+                             "survivors": keys.count()}
+    final_txn = f"cli:docs_curated:{args.run_id}"
+    if not (cat.exists("docs_curated")
+            and final_txn in cat.txns("docs_curated")):
+        _emit(cat, "docs_curated", cur, args.run_id, mode="overwrite")
+    docs.unpersist()
+    return {"stages": stages_out, "order": todo,
+            "final_table": "docs_curated",
+            "final_rows": cat.read(spark, "docs_curated").count()}
 
 
 def cmd_minhash(spark, args) -> dict:
@@ -417,7 +507,8 @@ def main(argv=None) -> None:
     p.add_argument("--partitions", type=int, default=16)
     p.add_argument("--vacuum", action="store_true",
                    help="after the run, delete data files not referenced by"
-                        " current snapshots (expired/rolled-back commits)")
+                        " current snapshots (expired/rolled-back commits);"
+                        " assumes no concurrent writers on this catalog")
 
     p = sub.add_parser("report", help="day-sliced stats over a committed "
                                       "extraction catalog (pruned read)")
@@ -430,6 +521,11 @@ def main(argv=None) -> None:
                    help="report run-level throughput/cost from the lineage "
                         "table instead of day slices ('all' = every run; "
                         "a run id reads only that run's partition)")
+    p.add_argument("--internals", action="store_true",
+                   help="report the catalog's engine internals per table: "
+                        "retained versions, manifest counts, replay-check "
+                        "metadata opens (O(1) claim), scan prune stats, "
+                        "_meta boundedness")
     p.add_argument("--cores", default=None)
 
     p = sub.add_parser("compact", help="rewrite a catalog's small files "
@@ -440,7 +536,8 @@ def main(argv=None) -> None:
                    help="one table (default: the extraction trio present)")
     p.add_argument("--target-mb", type=int, default=128)
     p.add_argument("--vacuum", action="store_true",
-                   help="reclaim the superseded files immediately")
+                   help="reclaim the superseded files immediately (assumes"
+                        " no concurrent writers on this catalog)")
     p.add_argument("--cores", default=None)
 
     p = sub.add_parser("dedup", help="exact dedup groups -> catalog")
@@ -506,6 +603,26 @@ def main(argv=None) -> None:
     _add_common(p)
     p.add_argument("--max-hamming", type=int, default=8)
 
+    p = sub.add_parser("curate",
+                       help="composed curation pipeline: host quota -> "
+                            "exact dedup -> near-dup keep-one -> "
+                            "decontaminate -> quality filter; one "
+                            "exactly-once commit PER STAGE (crash-resumable"
+                            " at stage granularity)")
+    _add_common(p)
+    p.add_argument("--stages", nargs="+", default=None,
+                   metavar="STAGE",
+                   help="subset of stages to run (order stays pinned): "
+                        "host_sample exact neardup decontaminate quality")
+    p.add_argument("--quota", type=int, default=10,
+                   help="per-host document quota for host_sample")
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--max-dup-line-frac", type=float, default=0.3)
+    p.add_argument("--benchmark", default=None,
+                   help="parquet of benchmark docs (doc_id, text); default "
+                        "is the synthetic doc_id %% MOD == 1 subset")
+    p.add_argument("--benchmark-mod", type=int, default=37)
+
     p = sub.add_parser("ann", help="IVF ANN top-k over embeddings")
     _add_common(p)
     p.add_argument("--query-vec", type=int, default=None)
@@ -535,6 +652,7 @@ def main(argv=None) -> None:
         "jaccard": cmd_jaccard,
         "cc": cmd_cc,
         "minhash": cmd_minhash,
+        "curate": cmd_curate,
         "decontaminate": cmd_decontaminate,
         "paradedup": cmd_paradedup,
         "simhash": cmd_simhash,

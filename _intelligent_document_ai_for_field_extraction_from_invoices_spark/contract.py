@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 
 from . import datagen
 from .functions import text as textfn
-from .operators import dedup, evaluate, sessionize, similarity, textstats
+from .operators import (
+    curate,
+    dedup,
+    evaluate,
+    sessionize,
+    similarity,
+    textstats,
+)
 from .operators.extract import extract_pages
 from .plans import lineage
 from .sources.tables import Catalog
@@ -280,6 +287,19 @@ def q_contamination(spark, sf_dir):
     d = _docs_wide(spark, sf_dir)
     bench = d.filter(F.col("doc_id") % _BENCH_MOD == 1)
     return dedup.contamination_flags(d, bench, n=8)
+
+
+def q_curate_survivors(spark, sf_dir):
+    """The COMPOSED curation pipeline (operators/curate.py): host quota ->
+    exact dedup -> near-dup clustering keep-one -> benchmark
+    decontamination -> quality/repetition filters, in the pinned stage
+    order. The oracle replays the whole chain as nested CTEs — each stage
+    consuming the previous stage's survivor set — so the stage-ORDERING
+    semantics (not just each operator) are hash-pinned."""
+    d = _docs_wide(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % _BENCH_MOD == 1)
+    return curate.curate_survivors(d, bench, quota=10, min_quality=0.5,
+                                   max_dup_line_frac=0.3)
 
 
 def q_lineage_perf(spark, sf_dir):
@@ -621,7 +641,9 @@ def q_neardup_components(spark, sf_dir):
     pairs (min-label propagation to fixpoint; the fixpoint is engine-
     independent, so a DuckDB recursive CTE replicates it exactly)."""
     pairs = dedup.shingle_pairs(_docs_wide(spark, sf_dir), n=3, min_shared=2)
-    return dedup.connected_components(pairs)
+    # shingle_pairs emits distinct doc_a < doc_b rows by construction, so
+    # the symmetrize-dedup shuffle can be skipped (round-5 verdict #2)
+    return dedup.connected_components(pairs, pairs_canonical=True)
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -1033,6 +1055,96 @@ ORACLES: dict[str, str] = {
                coalesce(n, 0)::BIGINT AS n_contaminated,
                coalesce(n, 0) >= 1 AS contaminated
         FROM documents LEFT JOIN hits ON documents.doc_id = hits.doc_id""",
+    # the COMPOSED curation chain: each stage consumes the previous
+    # stage's survivors, so this oracle pins the stage ORDERING, not just
+    # each operator (operators/curate.py STAGE_ORDER)
+    "q_curate_survivors": f"""
+        WITH RECURSIVE hc AS (
+          SELECT source, count(*) AS cnt FROM documents GROUP BY source
+        ), s1 AS (  -- stage 1: per-host quota sample (exact integer accept)
+          SELECT d.* FROM documents d JOIN hc ON d.source = hc.source
+          WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                * cnt < 10 * 4294967296
+        ), xw AS (
+          SELECT md5(text) AS dg, min(doc_id) AS k FROM s1 GROUP BY 1
+        ), s2 AS (  -- stage 2: exact dedup, keep the min-id copy
+          SELECT s1.* FROM s1
+          JOIN xw ON md5(s1.text) = xw.dg AND s1.doc_id = xw.k
+        ), nw AS (  -- stage 3: shingle pairs over s2 -> components -> keep-one
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM s2
+        ), nsh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(len(ws) - 2),
+                        i -> array_to_string(ws[(i+1):(i+3)], ' ')))) AS sh
+          FROM nw WHERE len(ws) >= 3
+        ), ncnt AS (
+          SELECT sh, count(*) AS c FROM nsh GROUP BY sh
+        ), nsc AS (
+          SELECT nsh.doc_id, nsh.sh FROM nsh JOIN ncnt USING (sh)
+          WHERE c <= 64
+        ), np AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM nsc a JOIN nsc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ), ne AS (
+          SELECT doc_a AS a, doc_b AS b FROM np
+          UNION
+          SELECT doc_b, doc_a FROM np
+        ), reach(node, r) AS (
+          SELECT DISTINCT a, a FROM ne
+          UNION
+          SELECT reach.node, ne.b FROM reach JOIN ne ON ne.a = reach.r
+        ), comp AS (
+          SELECT node AS doc_id, min(r) AS cid FROM reach GROUP BY node
+        ), s3 AS (
+          SELECT s2.* FROM s2 LEFT JOIN comp USING (doc_id)
+          WHERE cid IS NULL OR cid = doc_id
+        ), cw AS (  -- stage 4: decontaminate vs the FULL corpus benchmark
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM s3
+        ), csh AS (
+          SELECT DISTINCT doc_id, array_to_string(ws[(i+1):(i+8)], ' ') AS g
+          FROM (SELECT doc_id, ws, unnest(range(len(ws) - 8 + 1)) AS i
+                FROM cw WHERE len(ws) >= 8) t
+        ), bw AS (
+          SELECT string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents WHERE doc_id % {_BENCH_MOD} = 1
+        ), bsh AS (
+          SELECT DISTINCT array_to_string(ws[(i+1):(i+8)], ' ') AS g
+          FROM (SELECT ws, unnest(range(len(ws) - 8 + 1)) AS i
+                FROM bw WHERE len(ws) >= 8) t
+        ), chit AS (
+          SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (g)
+        ), s4 AS (
+          SELECT s3.* FROM s3 LEFT JOIN chit ON s3.doc_id = chit.doc_id
+          WHERE chit.doc_id IS NULL
+        ), qb AS (  -- stage 5: quality + repetition gate
+          SELECT doc_id, source,
+                 greatest(len(regexp_extract_all(text, '\\S+')), 1) AS n_tok,
+                 len(regexp_extract_all(lower(text),
+                     '\\b(?:{"|".join(textstats.STOPWORDS)})\\b')) AS n_stop,
+                 len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                 length(text) AS n_len,
+                 string_split(text, chr(10)) AS ls
+          FROM s4
+        ), scored AS (
+          SELECT doc_id, source,
+                 round(0.5 * (CASE WHEN n_len < 50 THEN 0.2
+                                   WHEN n_len < 200 THEN 0.6
+                                   WHEN n_len < 2000 THEN 1.0
+                                   ELSE 0.8 END)
+                       + 0.35 * least(n_stop / n_tok * 4, 1.0)
+                       + 0.15 * (1.0 - least(n_punct / greatest(n_len, 1)
+                                             * 10, 1.0)),
+                       4) AS quality_score,
+                 round(1 - len(list_distinct(ls))
+                       / greatest(len(ls), 1), 4) AS dup_line_frac
+          FROM qb
+        )
+        SELECT doc_id, source, quality_score, dup_line_frac
+        FROM scored
+        WHERE quality_score >= 0.5 AND dup_line_frac <= 0.3""",
     # run-level A8/A9 from committed lineage: lineage totals (n_rows,
     # bytes_out, n_failed) are pure functions of the corpus, so the oracle
     # reaggregates the mirrored body arithmetic; the float formulas then
@@ -1422,6 +1534,7 @@ QUERIES = {
     "q_results_by_day_pruned": q_results_by_day_pruned,
     "q_lineage_perf": q_lineage_perf,
     "q_contamination": q_contamination,
+    "q_curate_survivors": q_curate_survivors,
     "q_paragraph_dedup": q_paragraph_dedup,
     "q_repetition_stats": q_repetition_stats,
     "q_host_quota_sample": q_host_quota_sample,

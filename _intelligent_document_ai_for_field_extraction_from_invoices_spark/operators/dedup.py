@@ -543,7 +543,8 @@ def simhash_near_dups(df: DataFrame, key: str = "doc_id",
 
 def connected_components(pairs: DataFrame, key_a: str = "doc_a",
                          key_b: str = "doc_b", out_key: str = "doc_id",
-                         max_iters: int = 25) -> DataFrame:
+                         max_iters: int = 25,
+                         pairs_canonical: bool = False) -> DataFrame:
     """Near-duplicate CLUSTERING: connected components over a candidate-pair
     edge list (the step after LSH at corpus scale — pairs say "these two are
     dups", components say "this is one document cluster, keep one copy").
@@ -620,9 +621,14 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
                              F.col("comp").alias("component_id"))
 
     e = pairs.select(F.col(key_a).alias("a"), F.col(key_b).alias("b"))
-    edges0 = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct().persist())
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # `pairs_canonical=True` declares the input DISTINCT with key_a < key_b
+    # on every row — every LSH pair generator in this package emits exactly
+    # that shape — which makes the symmetrized union distinct by
+    # construction (the a<b and a>b halves cannot collide), skipping a
+    # full shuffle+dedup of 2x the edge list (round-5 verdict #2: this
+    # doubled the loop's first shuffle)
+    edges0 = (sym if pairs_canonical else sym.distinct()).persist()
     n_edges = edges0.count()
     # leaf-reset BEFORE iterating: without it every round's logical plan
     # embeds compounding copies of the whole upstream pair pipeline (the
@@ -643,8 +649,16 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
     it = 0
     while it < max_iters:
         it += 1
-        neigh = edges.join(labels, edges["a"] == labels["node"]).select(
-            F.col("b").alias("node"), "comp")
+        if it == 1:
+            # round 1 labels are the identity (comp == node), so the
+            # edges-x-labels join would resolve comp[a] = a — read the
+            # neighbour labels straight off the edge list and skip the
+            # loop's single biggest shuffle join on its biggest round
+            neigh = edges.select(F.col("b").alias("node"),
+                                 F.col("a").alias("comp"))
+        else:
+            neigh = edges.join(labels, edges["a"] == labels["node"]).select(
+                F.col("b").alias("node"), "comp")
         stepped = (
             labels.unionByName(neigh)
             .groupBy("node").agg(F.min("comp").alias("comp"))
@@ -741,7 +755,8 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
         # comp is a root, the next jump would be the identity, so THIS
         # round's labels are the fixpoint and no confirmation round is
         # needed (the moved-vs-last-round schemes always paid one).
-        st, jm, jm2 = labels.alias("st"), labels.alias("jm"),             labels.alias("jm2")
+        st, jm, jm2 = (labels.alias("st"), labels.alias("jm"),
+                       labels.alias("jm2"))
         jumped = st.join(
             jm, F.col("st.comp") == F.col("jm.node")
         ).join(

@@ -442,6 +442,11 @@ def hyperplane_banded_buckets(emb: DataFrame, num_planes: int, bands: int,
     0 (left-associative sum vs pairwise matmul) — measure-zero for real
     embeddings; the oracle gate always runs the sql tier."""
     rpb = num_planes // bands
+    if rpb > 62:
+        # per-band buckets pack into a signed BIGINT in both tiers
+        raise ValueError(
+            f"planes per band = {rpb} overflows the 63-bit bucket key: "
+            "use more bands (or fewer planes)")
     mask = (1 << rpb) - 1
     if engine == "auto":
         engine = ("sql" if num_planes * dim <= HYPERPLANE_SQL_TERM_LIMIT
@@ -480,13 +485,16 @@ def hyperplane_banded_buckets(emb: DataFrame, num_planes: int, bands: int,
         bits = (mat @ plane_t) >= 0.0  # (n, planes)
         cols = [bits[:, b * rpb:(b + 1) * rpb].astype(np.int64) @ weights
                 for b in range(bands)]
-        return pd.Series(list(np.stack(cols, axis=1).astype(np.int32)))
+        # int64 end-to-end (ADVICE round-5: an int32 cast here silently
+        # wrapped buckets negative at rpb >= 32 — e.g. 64 planes / 2
+        # bands — and diverged from the SQL tier's BIGINT buckets)
+        return pd.Series(list(np.stack(cols, axis=1)))
 
     # the module's `from __future__ import annotations` would stringify
     # inline hints against globals that don't hold pd; real objects keep
     # pandas_udf's Series->Series inference working
     _buckets.__annotations__ = {"vs": pd.Series, "return": pd.Series}
-    _buckets = pandas_udf(_buckets, "array<int>")
+    _buckets = pandas_udf(_buckets, "array<long>")
 
     return emb.select(
         F.col(_bq(key)).alias("k"),

@@ -15,8 +15,11 @@ star is the first driver bottleneck):
                                 (path + partition values + txn per file)
   <table>/_meta/v<N>.json       SNAPSHOT: a manifest LIST — one small entry
                                 per live manifest (path, n_files, txn set,
-                                per-column partition-value summary)
-  <table>/_meta/_current        the version pointer (atomic os.replace flip)
+                                per-column partition-value summary).
+                                Creating this file (atomic os.link,
+                                fail-if-exists) IS the commit point.
+  <table>/_meta/_current        advisory version HINT (atomic os.replace);
+                                readers probe forward from it
 
 An append therefore writes O(new files) manifest bytes plus an O(#manifests)
 snapshot, and #manifests is kept bounded by merging small manifests on
@@ -25,13 +28,22 @@ bytes per append stay flat no matter how many commits the table has seen.
 Readers prune at the manifest-list level first — a partition predicate that
 rules out a manifest's value summary never opens that manifest at all.
 
-Commit protocol (single-writer, driver-side — SURVEY §7.3.5):
+Commit protocol (optimistic multi-writer, driver-side — SURVEY §7.3.5; the
+same shape as Iceberg's HadoopTableOperations):
   1. executors write parquet files into  <table>/data/<uuid>/        (staging)
-  2. the driver writes manifest + snapshot under <table>/_meta/
-  3. the driver atomically flips          <table>/_meta/_current     (os.replace)
-Readers resolve _current -> snapshot -> manifests -> explicit file list, so a
-crash between 1 and 3 leaves only unreferenced staging files (never a torn
-table).
+  2. the driver writes the manifest and a snapshot tempfile under _meta/
+  3. the driver atomically LINKS the snapshot into place as v<N>.json
+     (os.link, fail-if-exists) — THE commit point; EEXIST means another
+     writer committed version N first (rebase and retry)
+  4. the driver advances the _current hint (os.replace) — advisory only
+Readers resolve _current, probe FORWARD for newer committed v<N+k>.json
+files (a writer may have crashed between 3 and 4, or a racing hint write
+may have regressed the pointer), then snapshot -> manifests -> file list.
+A crash anywhere before step 3 leaves only unreferenced staging/metadata
+files (never a torn table); a crash after step 3 leaves a fully durable
+commit that the forward probe surfaces. There is no claimed-but-uncommitted
+window at all, so no commit can wedge the table and no manual repair step
+exists.
 
 Partition predicates (`where=` on read/scan_files) accept:
   {"lang": "en"}                          equality
@@ -75,19 +87,20 @@ SUMMARY_MAX_VALUES = 16
 # consumed when ANOTHER writer's commit landed, so N retries tolerate N
 # concurrent committers — not N time slices.
 COMMIT_RETRIES = 16
-# how long a conflicting writer waits for the version-claim winner to flip
-# _current before concluding the claim is a crashed writer's orphan
-FLIP_WAIT_TRIES = 40
-FLIP_WAIT_SECS = 0.025
+# vacuum's safety gate for deleting UNREFERENCED metadata/staging files:
+# anything younger than this may belong to an in-flight commit (staged data
+# and manifests are written BEFORE the atomic snapshot link), so only files
+# past the gate are reclaimable orphans. Matches the spirit of Iceberg's
+# remove-orphan-files "older-than" requirement.
+VACUUM_MIN_AGE_SECS = 600.0
 
 
 class ConcurrentCommitError(RuntimeError):
-    """Another writer created this snapshot version first. Writers that
-    can rebase (append/rollback/compact — their staged files are still
-    valid against a newer parent) retry automatically; if the version
-    file exists but `_current` never advanced, a writer crashed between
-    writing its snapshot and flipping the pointer — see
-    `Catalog.repair_orphan_version`."""
+    """Another writer committed this snapshot version first (the atomic
+    v<N>.json link is the commit point, so an existing version file is
+    always a COMPLETED commit, never a stale lock). Writers that can
+    rebase (append/rollback/compact — their staged files are still valid
+    against a newer parent) retry automatically."""
 
 
 def _pvalue(v) -> str:
@@ -291,11 +304,33 @@ class Catalog:
         return [e for e in entries if id(e) not in small_ids] + [merged]
 
     # -- snapshot plumbing --------------------------------------------------
-    def _read_current(self, table: str) -> dict | None:
+    def _current_version(self, table: str) -> int:
+        """Newest COMMITTED version (0 = table absent). The _current hint is
+        advisory: a writer may have crashed between its atomic snapshot link
+        (the commit point) and the hint write, or a slow racing hint write
+        may have regressed the pointer — so readers probe FORWARD from the
+        hint for newer v<N>.json files. The hint is rewritten on every
+        commit, so the probe is one stat call in the steady state."""
+        meta = self._meta(table)
         try:
             with open(self._current_path(table)) as f:
                 version = int(f.read().strip())
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError):
+            # no/corrupt hint (crash before the table's first hint write):
+            # recover the newest version from a directory listing
+            if not os.path.isdir(meta):
+                return 0
+            version = max(
+                (int(fn[1:-5]) for fn in os.listdir(meta)
+                 if fn.startswith("v") and fn.endswith(".json")
+                 and fn[1:-5].isdigit()), default=0)
+        while os.path.exists(os.path.join(meta, f"v{version + 1}.json")):
+            version += 1
+        return version
+
+    def _read_current(self, table: str) -> dict | None:
+        version = self._current_version(table)
+        if version == 0:
             return None
         with open(os.path.join(self._meta(table), f"v{version}.json")) as f:
             return self._upgrade_snap(json.load(f))
@@ -321,12 +356,15 @@ class Catalog:
             "all_txns": sorted((all_txns or set()) | ({txn} if txn else set())),
             "committed_at": time.time(),
         }
-        # optimistic concurrency (Iceberg's commit semantics): the version
-        # file is claimed ATOMICALLY via link(tmp, vN) — the fully-written
-        # content appears in one step, and a second writer racing for the
-        # same version gets EEXIST instead of silently overwriting (the
-        # old open("w") + last-flip-wins could LOSE one of two concurrent
-        # commits — e.g. a streaming append racing a compact job)
+        # optimistic concurrency (Iceberg's HadoopTableOperations shape):
+        # the atomic link(tmp, vN) IS the commit point — the fully-written
+        # snapshot appears in one step, and a second writer racing for the
+        # same version gets EEXIST instead of silently overwriting (an
+        # open("w") last-write-wins would LOSE one of two concurrent
+        # commits — e.g. a streaming append racing a compact job). Because
+        # the link is the LAST step that matters, a crash at any point
+        # leaves either nothing visible or a fully durable commit — there
+        # is no claimed-but-uncommitted state to repair.
         vpath = os.path.join(meta, f"v{version}.json")
         tmp_v = vpath + f".tmp.{uuid.uuid4().hex}"
         with open(tmp_v, "w") as f:
@@ -335,41 +373,28 @@ class Catalog:
             os.link(tmp_v, vpath)
         except FileExistsError:
             raise ConcurrentCommitError(
-                f"version {version} of table {table!r} already exists "
-                "(concurrent or crashed writer)") from None
+                f"version {version} of table {table!r} was committed by a "
+                "concurrent writer") from None
         finally:
             os.remove(tmp_v)
+        # advance the advisory hint. Best-effort and non-monotonic under
+        # races (a descheduled writer can replace it with an older number);
+        # readers probe forward from whatever it says, so a stale or
+        # regressed hint costs stat calls, never correctness.
         tmp = self._current_path(table) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(version))
-        os.replace(tmp, self._current_path(table))  # the atomic flip
+        os.replace(tmp, self._current_path(table))
         return version
-
-    def _await_flip(self, table: str, stuck_version) -> bool:
-        """After losing a version-claim race at parent `stuck_version`,
-        wait (bounded) for the winner to flip `_current`. A LIVE winner
-        flips within its claim-to-flip window (two tiny file writes) —
-        milliseconds; a writer that died in that window never will.
-        Returns True once `_current` has advanced past `stuck_version`
-        (rebase and retry), False if it never moved (treat the claim as a
-        crashed writer's orphan — raising beats deleting it, because a
-        pathologically descheduled live winner would be torn by a
-        deletion; `repair_orphan_version` is the explicit remedy)."""
-        for _ in range(FLIP_WAIT_TRIES):
-            cur = self._read_current(table)
-            if (cur["version"] if cur else None) != stuck_version:
-                return True
-            time.sleep(FLIP_WAIT_SECS)
-        return False
 
     def _commit_rebased(self, table: str, build) -> int:
         """Retry loop for rebasable commits: `build(cur)` returns the
         _commit kwargs computed against the snapshot read for THIS
-        attempt; on a version-claim conflict the loop waits for the
-        winner's flip (`_await_flip` — a live winner inside its
-        claim-to-flip window must not be misdiagnosed as a crashed
-        orphan) and rebases against the advanced snapshot. The staged
-        data files are parent-independent, so only metadata is
+        attempt; on a version conflict (EEXIST on the commit link — the
+        conflicting version file is by construction a COMPLETED commit)
+        the next iteration's `_read_current` probes forward to the
+        winner's snapshot and the commit is rebased against it. The
+        staged data files are parent-independent, so only metadata is
         recomputed. A retry is consumed only when another commit actually
         landed."""
         for _ in range(COMMIT_RETRIES):
@@ -377,9 +402,7 @@ class Catalog:
             try:
                 return self._commit(table, **build(cur))
             except ConcurrentCommitError:
-                if not self._await_flip(table,
-                                        cur["version"] if cur else None):
-                    raise
+                continue
         raise ConcurrentCommitError(
             f"gave up committing to {table!r} after {COMMIT_RETRIES} "
             "rebases (heavy concurrent write load)")
@@ -407,17 +430,17 @@ class Catalog:
         if version is None:
             snap = self._read_current(table)
         else:
-            cur = self._read_current(table)
-            if cur is None or version > cur["version"]:
-                # a v<N>.json beyond _current is a claimed-but-never-
-                # flipped orphan of a crashed/in-flight writer, NOT a
-                # committed snapshot — time travel must refuse it just
-                # like snapshots() hides it (review finding)
+            # any existing v<N>.json is a completed commit (the atomic
+            # link that created it was the commit point), so time travel
+            # may open it directly; a missing file is a hard error
+            try:
+                with open(os.path.join(self._meta(table),
+                                       f"v{version}.json")) as f:
+                    snap = json.load(f)
+            except FileNotFoundError:
                 raise FileNotFoundError(
                     f"version {version} of table {table!r} is not a "
-                    "committed snapshot")
-            with open(os.path.join(self._meta(table), f"v{version}.json")) as f:
-                snap = json.load(f)
+                    "committed snapshot") from None
         if snap is None:
             raise FileNotFoundError(f"table not found: {table}")
         return self._upgrade_snap(snap)
@@ -450,36 +473,17 @@ class Catalog:
         meta = self._meta(table)
         if not os.path.isdir(meta):
             return []
-        cur = self._read_current(table)
-        cur_v = cur["version"] if cur else 0
         out = []
         for fn in sorted(os.listdir(meta)):
             if fn.startswith("v") and fn.endswith(".json"):
+                # every v<N>.json is a completed commit (the atomic link
+                # that created it was the commit point) — nothing to hide
                 with open(os.path.join(meta, fn)) as f:
                     snap = self._upgrade_snap(json.load(f))
-                if snap["version"] > cur_v:
-                    continue  # claimed-but-never-flipped orphan of a
-                    # crashed/in-flight writer: not a committed snapshot
                 if with_files:
                     snap["files"] = self._snap_files(snap, missing_ok=True)
                 out.append(snap)
         return sorted(out, key=lambda s: s["version"])
-
-    def repair_orphan_version(self, table: str) -> int | None:
-        """Delete the orphan v(current+1).json a writer left by crashing
-        BETWEEN claiming its version file and flipping `_current` (new
-        commits then fail with ConcurrentCommitError because the next
-        version is permanently claimed). Call ONLY when no writer is
-        live — an active writer inside its tiny claim-to-flip window is
-        indistinguishable from a dead one, and deleting its claim would
-        tear its commit. Returns the removed version, or None."""
-        cur = self._read_current(table)
-        nxt = (cur["version"] if cur else 0) + 1
-        p = os.path.join(self._meta(table), f"v{nxt}.json")
-        if os.path.exists(p):
-            os.remove(p)
-            return nxt
-        return None
 
     def _stage(self, table: str, df: DataFrame,
                partition_by: list[str] | None = None,
@@ -635,14 +639,14 @@ class Catalog:
             self.last_txn_stats = {"meta_files_opened": 2}
             return set(cur["all_txns"])
         # legacy table (pre-summary): per-version txn fields, no manifests.
-        # snapshots() re-reads _current (+2 opens) and opens every listed
-        # version json, including orphans it then hides — count them all
-        # (review finding: the old 2+len(snaps) figure undercounted)
+        # snapshots() opens every listed version json — count them all
+        # on top of this call's own _read_current opens
         meta = self._meta(table)
-        n_v = len([fn for fn in os.listdir(meta)
-                   if fn.startswith("v") and fn.endswith(".json")])             if os.path.isdir(meta) else 0
+        n_v = (len([fn for fn in os.listdir(meta)
+                    if fn.startswith("v") and fn.endswith(".json")])
+               if os.path.isdir(meta) else 0)
         snaps = self.snapshots(table)
-        self.last_txn_stats = {"meta_files_opened": 4 + n_v}
+        self.last_txn_stats = {"meta_files_opened": 2 + n_v}
         return {s["txn"] for s in snaps if s.get("txn")}
 
     def remove_orphan_appends(self, table: str, live_txns: set[str]) -> int:
@@ -711,8 +715,8 @@ class Catalog:
                              all_txns=self._parent_txns(table, cur))
                 return n_removed
             except ConcurrentCommitError:
-                if not self._await_flip(table, cur["version"]):
-                    raise
+                continue  # the conflicting version is a completed commit;
+                # re-read and redo the surgery against the fresh list
         raise ConcurrentCommitError(
             f"gave up rolling back {table!r} after {COMMIT_RETRIES} rebases")
 
@@ -744,12 +748,19 @@ class Catalog:
         start; multi-table writers (the CLI does this for the extraction
         trio) must reconcile before compacting.
 
-        A commit CONFLICT aborts with ConcurrentCommitError instead of
-        rebasing: compact's snapshot REPLACES the manifest list it read,
-        so blind-rebasing over a concurrent append would silently drop
-        that append's rows — the caller re-runs the whole compaction
-        against the fresh snapshot (staged files become vacuum-able
-        orphans).
+        A commit CONFLICT REBASES instead of aborting (Iceberg's
+        rewriteDataFiles validation-and-retry — round-5 verdict #1, so a
+        streaming sink's per-few-seconds appends can never starve the
+        maintenance job that exists because of them): compact validates
+        that every file it rewrote is still referenced by the fresh
+        snapshot, keeps verbatim any manifest whose files it did not
+        touch (a racing append's — disjoint new data by construction),
+        rewrites any manifest a racing merge mixed (replaced + new rows)
+        down to just the new rows, and commits the compacted entry plus
+        the survivors. Only a concurrent ROLLBACK/OVERWRITE/compact —
+        one that removed files this compaction rewrote, making its
+        output stale — still aborts with ConcurrentCommitError (the
+        caller re-runs; staged files become vacuum-able orphans).
 
         Returns {"files_before", "files_after", "version",
         "orphans_removed"} (version=None when already at or below the
@@ -763,7 +774,10 @@ class Catalog:
         if live_txns is not None:
             n_orphans = self.remove_orphan_appends(table, live_txns)
             cur = self._read_current(table)
-        files = self.scan_files(table)
+        # pin the file list AND the data read to cur's version: a racing
+        # append between these reads would otherwise leak rows into the
+        # rewrite that the conflict rebase then double-counts
+        files = self.scan_files(table, version=cur["version"])
         total = sum(os.path.getsize(f) for f in files)
         n_target = max(1, math.ceil(total / target_file_bytes))
         if len(files) <= n_target:
@@ -778,7 +792,7 @@ class Catalog:
                 cols = set((r.get("partition") or {}).keys())
                 part_cols = cols if part_cols is None else (part_cols & cols)
         partition_by = sorted(part_cols) if part_cols else None
-        df = self.read(spark, table)
+        df = self.read(spark, table, version=cur["version"])
         if partition_by is None:
             df = df.repartition(n_target)
         else:
@@ -790,13 +804,58 @@ class Catalog:
             df = df.repartition(max(n_target, 1), *partition_by)
         rows = self._stage(table, df, partition_by)
         entry = self._write_manifest(table, rows, [], op="compact")
-        version = self._commit(table, [entry], "compact", cur["version"],
-                               schema=cur.get("schema"),
-                               all_txns=self._parent_txns(table, cur))
-        return {"files_before": len(files), "files_after": len(rows),
-                "version": version, "orphans_removed": n_orphans}
+        replaced = set(files)  # every file whose rows the rewrite holds
+        entries = [entry]
+        for _ in range(COMMIT_RETRIES):
+            try:
+                version = self._commit(
+                    table, entries, "compact", cur["version"],
+                    schema=cur.get("schema"),
+                    all_txns=self._parent_txns(table, cur))
+                return {"files_before": len(files), "files_after": len(rows),
+                        "version": version, "orphans_removed": n_orphans}
+            except ConcurrentCommitError:
+                cur = self._read_current(table)
+                entries = [entry] + self._rebase_compact(table, cur, replaced)
+        raise ConcurrentCommitError(
+            f"gave up compacting {table!r} after {COMMIT_RETRIES} rebases")
 
-    def vacuum(self, table: str, keep_versions: int = 1) -> int:
+    def _rebase_compact(self, table: str, cur: dict,
+                        replaced: set[str]) -> list[dict]:
+        """Validation-and-retry surgery for a compact commit that lost a
+        version race: against the FRESH snapshot, return the manifest
+        entries to carry alongside the compacted one. An entry none of
+        whose files were rewritten (a racing append) is kept verbatim; an
+        entry fully covered by the rewrite is dropped (the compacted entry
+        holds its rows); a MIXED entry (a racing `_maybe_merge` folded
+        replaced rows together with a new append's) is rewritten down to
+        just the non-replaced rows. Raises ConcurrentCommitError if any
+        rewritten file is NO LONGER referenced — a concurrent rollback/
+        overwrite/compact removed rows this compaction would resurrect,
+        so its output is stale and the whole compaction must re-run."""
+        keep: list[dict] = []
+        still_live: set[str] = set()
+        for e in cur["manifests"]:
+            rows = self._read_manifest(e)
+            mine = [r for r in rows if r["path"] in replaced]
+            still_live.update(r["path"] for r in mine)
+            others = [r for r in rows if r["path"] not in replaced]
+            if not mine:
+                keep.append(e)
+            elif others:
+                keep.append(self._write_manifest(
+                    table, others, [r.get("txn") for r in others],
+                    op=e.get("op", "append")))
+            # else: fully replaced — the compacted entry carries its rows
+        if still_live != replaced:
+            raise ConcurrentCommitError(
+                f"compaction of {table!r} is stale: a concurrent rollback/"
+                "overwrite/compact removed files it rewrote — re-run "
+                "compaction against the fresh snapshot")
+        return keep
+
+    def vacuum(self, table: str, keep_versions: int = 1,
+               min_age_secs: float = VACUUM_MIN_AGE_SECS) -> int:
         """Delete data files not referenced by the newest `keep_versions`
         snapshots (Iceberg's expire-snapshots + orphan-file GC analogue —
         reclaims the files left behind by `remove_orphan_appends` rollbacks
@@ -808,7 +867,22 @@ class Catalog:
         append+vacuum cycles (a streaming sink's life is 10^5+ commits;
         keeping every version json made every listdir-based call pay for
         all of them). Time travel reaches the retained versions only.
-        Returns data files deleted."""
+
+        SAFE UNDER CONCURRENT WRITERS via the `min_age_secs` gate: an
+        in-flight commit stages its data files and manifest BEFORE the
+        atomic snapshot link, so at that instant they are unreferenced —
+        indistinguishable from orphans by reference-counting alone. Every
+        unreferenced-file deletion (staging data, manifests, claim/flip
+        tempfiles) therefore skips files younger than the gate (Iceberg's
+        remove-orphan-files has the same older-than requirement). Only
+        set min_age_secs=0 when provably no writer is live. Returns data
+        files deleted."""
+
+        def _expired(path: str) -> bool:
+            try:
+                return time.time() - os.path.getmtime(path) > min_age_secs
+            except OSError:
+                return False  # vanished underneath us — nothing to delete
         snaps = self.snapshots(table)
         if not snaps:
             return 0
@@ -844,7 +918,17 @@ class Catalog:
                         for f in fs if f.endswith(".parquet")]
             live = [p for p in parquets if os.path.realpath(p) in keep]
             if not live:
-                # whole staging commit expired: drop it with its markers
+                # whole staging commit unreferenced — but a commit IN
+                # FLIGHT (staged, not yet snapshot-linked) looks exactly
+                # like this, so only a staging dir past the age gate is
+                # an orphan (age = the newest write anywhere under it)
+                newest = max([os.path.getmtime(sdir)] +
+                             [os.path.getmtime(os.path.join(r, f))
+                              for r, _d, fs in os.walk(sdir) for f in fs
+                              if os.path.exists(os.path.join(r, f))],
+                             default=0)
+                if time.time() - newest <= min_age_secs:
+                    continue
                 import shutil  # noqa: PLC0415
 
                 n += len(parquets)
@@ -873,19 +957,25 @@ class Catalog:
         meta = self._meta(table)
         for fn in os.listdir(meta):
             if fn.startswith("m-") and fn.endswith(".json"):
+                # unreferenced manifest: either dead weight from a merge/
+                # rollback rewrite, or an IN-FLIGHT commit's manifest
+                # written just before its snapshot link — the age gate
+                # tells them apart (ADVICE round-5: deleting a young one
+                # let a racing writer publish a snapshot referencing a
+                # deleted manifest)
                 p = os.path.join(meta, fn)
-                if os.path.realpath(p) not in keep_manifests:
+                if os.path.realpath(p) not in keep_manifests and _expired(p):
                     os.remove(p)
             elif ".tmp." in fn:
-                # claim/flip temp files a writer left by crashing between
-                # its tmp write and link/replace; age-gated so a LIVE
-                # writer mid-claim is never raced (review finding)
+                # snapshot/hint temp files a writer left by crashing
+                # between its tmp write and link/replace; same age gate —
+                # a LIVE writer mid-commit is never raced
                 p = os.path.join(meta, fn)
-                try:
-                    if time.time() - os.path.getmtime(p) > 600:
+                if _expired(p):
+                    try:
                         os.remove(p)
-                except OSError:
-                    pass
+                    except OSError:
+                        pass
         # expired version jsons: everything older than the newest
         # keep_versions (and never _current's version), compacted to one
         # history line each. Cumulative txn summaries ride in the CURRENT

@@ -102,7 +102,28 @@ def main() -> None:
 
     from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (  # noqa: PLC0415
         dedup,
+        similarity,
     )
+
+    def hyperplane_matmul_768():
+        """Bench-only entry (round-5 verdict #3): the hyperplane LSH MATMUL
+        tier at real embedding dims — 768 x 64 planes = 49k terms, past the
+        SQL tier's Janino compile wall, so `engine=auto` selects the
+        batched NumPy sign(V @ P.T) pandas tier. The corpus is the
+        embeddings table tiled x12 (cosine is tiling-invariant, so the
+        near-dup structure survives). Correctness for this tier is pinned
+        by the pure-NumPy reference parity test
+        (tests/test_similarity_kmeans.py), not a DuckDB oracle — float
+        matmul is not bit-reproducible in SQL, which is exactly why the
+        tier exists."""
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+            spark.sparkContext.defaultParallelism, "vec_id")
+        emb768 = emb.select(
+            "vec_id",
+            F.flatten(F.array_repeat("embedding", 12)).alias("embedding"))
+        similarity.hyperplane_lsh_pairs(
+            emb768, threshold=0.40, num_planes=64, bands=4
+        ).write.format("noop").mode("overwrite").save()
 
     # k interleaved passes over the WHOLE set (not k back-to-back repeats of
     # each query): host-noise episodes then hit every query equally instead
@@ -117,6 +138,9 @@ def main() -> None:
                 .write.format("noop").mode("overwrite").save()
             ))
             dedup.release_caches()  # no cross-query cache residue
+        samples.setdefault("q_hyperplane_matmul_768", []).append(
+            time_action(hyperplane_matmul_768))
+        dedup.release_caches()
     pages.unpersist()
 
     timings = {name: _median(s) for name, s in samples.items()}

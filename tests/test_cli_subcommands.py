@@ -340,3 +340,114 @@ def test_compact_reconciles_torn_transactions_before_folding(spark, tmp_path,
     rows = cat.read(spark, lineage.RESULTS_TABLE).select("url").collect()
     urls = [r.url for r in rows]
     assert len(urls) == len(set(urls)) == pages.count()  # zero duplicates
+
+
+def test_curate_pipeline_stage_commits_and_replay(spark, tmp_path, capsys):
+    """Round-5 verdict #5: the composed curation pipeline commits one
+    exactly-once txn PER STAGE; a replayed run id is a per-stage no-op,
+    and the final docs_curated equals the library composition."""
+    from tests.conftest import SF_DIR as sf
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+        curate as curate_ops,
+        dedup as dedup_ops,
+    )
+    from pyspark.sql import functions as F
+
+    cat_dir = str(tmp_path / "cat")
+    out = _run(capsys, "curate", "--input", sf, "--output", cat_dir,
+               "--run-id", "c1")
+    assert out["order"] == curate_ops.STAGE_ORDER
+    assert all(not s["replayed"] for s in out["stages"].values())
+    # monotone attrition through the chain
+    counts = [out["stages"][s]["survivors"] for s in out["order"]]
+    assert counts == sorted(counts, reverse=True)
+    assert out["final_rows"] == counts[-1] > 0
+
+    # replay: every stage is a no-op, same survivors
+    out2 = _run(capsys, "curate", "--input", sf, "--output", cat_dir,
+                "--run-id", "c1")
+    assert all(s["replayed"] for s in out2["stages"].values())
+    assert out2["final_rows"] == out["final_rows"]
+
+    # the staged composition == the one-shot library composition
+    cat = Catalog(cat_dir)
+    got = {r.doc_id for r in cat.read(spark, "docs_curated").collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 37 == 1)
+    want = {r.doc_id for r in
+            curate_ops.curate_survivors(docs, bench).collect()}
+    dedup_ops.release_caches()
+    assert got == want
+
+
+def test_curate_stage_subset_and_unknown_stage(spark, tmp_path, capsys):
+    from tests.conftest import SF_DIR as sf
+
+    out = _run(capsys, "curate", "--input", sf,
+               "--output", str(tmp_path / "cat"), "--run-id", "c2",
+               "--stages", "host_sample", "quality")
+    assert out["order"] == ["host_sample", "quality"]
+    assert set(out["stages"]) == {"host_sample", "quality"}
+    with pytest.raises(SystemExit, match="unknown stages"):
+        _run(capsys, "curate", "--input", sf,
+             "--output", str(tmp_path / "cat2"), "--stages", "bogus")
+
+
+def test_curate_resumes_at_failed_stage(spark, tmp_path, capsys,
+                                        monkeypatch):
+    """Crash mid-pipeline (during the neardup stage) -> rerun with the SAME
+    run id: the committed early stages replay as no-ops and the pipeline
+    completes from where it failed."""
+    from tests.conftest import SF_DIR as sf
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+        curate as curate_ops,
+    )
+
+    cat_dir = str(tmp_path / "cat")
+    real = curate_ops.run_stage
+
+    def boom(stage, *a, **kw):
+        if stage == "neardup":
+            raise RuntimeError("simulated crash")
+        return real(stage, *a, **kw)
+
+    monkeypatch.setattr(curate_ops, "run_stage", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        _run(capsys, "curate", "--input", sf, "--output", cat_dir,
+             "--run-id", "c3")
+    monkeypatch.setattr(curate_ops, "run_stage", real)
+    out = _run(capsys, "curate", "--input", sf, "--output", cat_dir,
+               "--run-id", "c3")
+    assert out["stages"]["host_sample"]["replayed"]
+    assert out["stages"]["exact"]["replayed"]
+    assert not out["stages"]["neardup"]["replayed"]
+    assert out["final_rows"] > 0
+
+
+def test_report_internals(spark, tmp_path, capsys):
+    """Round-5 verdict #8: report --internals surfaces the catalog's scale
+    claims (O(1) replay-check opens, manifest prune stats, bounded _meta)."""
+    cat_dir = str(tmp_path / "cat")
+    _run(capsys, "dedup", "--input", SF_DIR, "--output", cat_dir,
+         "--run-id", "t1")
+    out = _run(capsys, "report", "--catalog", cat_dir, "--internals")
+    t = out["internals"]["exact_dedup_groups"]
+    assert t["txn_check_meta_opens"]["meta_files_opened"] == 2  # O(1) claim
+    assert t["versions_retained"] == t["current_version"] == 1
+    assert t["scan"]["files_selected"] == t["data_files"] > 0
+    assert t["txns_committed"] == 1
+
+
+def test_cc_emits_contraction_stats(spark, tmp_path, capsys):
+    """Round-5 verdict #8: the cc subcommand surfaces CC_LAST_STATS —
+    rounds, per-round edge counts, fast-path hit — in its summary JSON."""
+    out = _run(capsys, "cc", "--input", SF_DIR,
+               "--output", str(tmp_path / "cat"), "--run-id", "t1")
+    st = out["cc_stats"]
+    assert st["rounds"] >= 1
+    # edge_counts covers the CONTRACTION rounds only (epilogue jump
+    # rounds touch no edges); +1 for the initial count
+    assert 2 <= len(st["edge_counts"]) <= st["rounds"] + 1
+    assert st["edge_counts"][0] > 0 and st["edge_counts"][-1] == 0

@@ -56,7 +56,7 @@ def test_vacuum_keeps_live_partitioned_files(spark, cat, tmp_path):
     # live (current) partitioned files must survive the recursive GC walk
     sub = cat.read(spark, "docs", where={"lang": "zh"})
     cat.overwrite("docs", sub, partition_by=["lang"])
-    removed = cat.vacuum("docs")
+    removed = cat.vacuum("docs", min_age_secs=0)
     assert removed > 0
     got = cat.read(spark, "docs").collect()
     assert {r.lang for r in got} == {"zh"}
@@ -187,7 +187,7 @@ def test_metadata_bytes_per_append_stay_flat(spark, tmp_path):
     # and the table still reads correctly
     assert cat.read(spark, "t").count() == 200
     # vacuum GCs the pre-merge manifest files the merged ones replaced
-    cat.vacuum("t")
+    cat.vacuum("t", min_age_secs=0)
     live = {os.path.basename(e["manifest"])
             for e in cat._read_current("t")["manifests"]}
     on_disk = {f for f in os.listdir(meta) if f.startswith("m-")}
@@ -226,7 +226,7 @@ def test_partitioned_vacuum_cleans_crc_and_empty_dirs(spark, tmp_path):
     # first staging dir expire but the staging dir itself had both
     cat.overwrite("t", cat.read(spark, "t", where={"lang": "en"}),
                   partition_by=["lang"])
-    removed = cat.vacuum("t")
+    removed = cat.vacuum("t", min_age_secs=0)
     assert removed > 0
     data_root = os.path.join(str(tmp_path), "t", "data")
     for root, dirs, fs in os.walk(data_root):

@@ -209,6 +209,46 @@ def test_hyperplane_pandas_tier_matches_numpy_reference(spark):
     assert len(got) > 0  # the clusters must actually collide
 
 
+def test_hyperplane_pandas_tier_wide_band_no_overflow(spark):
+    """ADVICE round-5 regression: 64 planes / 2 bands packs 32 sign bits
+    per bucket — an int32 bucket column silently wrapped NEGATIVE past
+    bit 31 and diverged from the SQL tier's BIGINT buckets. The pandas
+    tier must emit int64 buckets that match the NumPy reference, and
+    rpb > 62 must fail loudly instead of overflowing BIGINT."""
+    import numpy as np
+    import pytest
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import similarity
+
+    dim, planes, bands = 128, 64, 2  # rpb = 32: past the int32 boundary
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((6, dim))
+    rows = []
+    for i in range(30):
+        v = base[i % 6] + 0.02 * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    banded = similarity.hyperplane_banded_buckets(
+        emb, planes, bands, dim, "vec_id", "embedding", engine="pandas")
+    got = banded.collect()
+    assert banded.schema["bucket"].dataType.simpleString() == "bigint"
+    assert all(r.bucket >= 0 for r in got)
+    assert any(r.bucket >= (1 << 31) for r in got)  # bits past int32 real
+    # bucket-exact vs the pure-NumPy reference
+    mat = np.array([v for _, v in rows], dtype=np.float64)
+    bits = (mat @ similarity._plane_matrix(planes, dim).T) >= 0.0
+    rpb = planes // bands
+    w = 1 << np.arange(rpb, dtype=np.int64)
+    ref = {(i, b, int(bits[i, b * rpb:(b + 1) * rpb].astype(np.int64) @ w))
+           for i in range(len(rows)) for b in range(bands)}
+    assert {(r.k, r.band, r.bucket) for r in got} == ref
+    with pytest.raises(ValueError, match="overflows the 63-bit bucket"):
+        similarity.hyperplane_banded_buckets(
+            emb, 64, 1, dim, "vec_id", "embedding", engine="pandas")
+    similarity.release_caches()
+
+
 def test_hyperplane_dim_validation(spark):
     """ADVICE regression: an explicit dim beyond the corpus embedding dim
     must fail loudly instead of NULLing every plane dot (all vectors into

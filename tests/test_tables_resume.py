@@ -194,13 +194,13 @@ def test_vacuum_reclaims_expired_and_orphaned_files(spark, tmp_path):
                    for _, _, fs in os.walk(data_root))
 
     before = n_parquet()
-    removed = cat.vacuum("t")
+    removed = cat.vacuum("t", min_age_secs=0)
     assert removed > 0
     assert n_parquet() == before - removed
     # current data intact after GC
     assert sorted(r.id for r in cat.read(spark, "t").collect()) == list(range(7))
     # vacuum is idempotent
-    assert cat.vacuum("t") == 0
+    assert cat.vacuum("t", min_age_secs=0) == 0
 
 
 def test_txn_check_metadata_opens_stay_flat(spark, tmp_path):
@@ -231,7 +231,7 @@ def test_txns_survive_version_expiry(spark, tmp_path):
     cat = Catalog(str(tmp_path))
     for b in range(30):
         cat.append("t", spark.range(2), txn=f"b:{b}")
-        cat.vacuum("t", keep_versions=2)
+        cat.vacuum("t", keep_versions=2, min_age_secs=0)
     meta = os.path.join(str(tmp_path), "t", "_meta")
     n_versions = len([f for f in os.listdir(meta)
                       if f.startswith("v") and f.endswith(".json")])
@@ -260,7 +260,7 @@ def test_meta_dir_bounded_across_append_vacuum_cycles(spark, tmp_path):
     meta = os.path.join(str(tmp_path), "t", "_meta")
     for b in range(100):
         cat.append("t", spark.range(1), txn=f"c:{b}")
-        cat.vacuum("t", keep_versions=3)
+        cat.vacuum("t", keep_versions=3, min_age_secs=0)
         sizes.append(len(os.listdir(meta)))
     # bounded: steady state (the manifest-merge tiers take ~30 cycles to
     # fill) never exceeds a flat ceiling, and shows no growth trend over
@@ -344,7 +344,7 @@ def test_compact_merges_small_files_preserving_rows_and_txns(spark,
     assert cat.remove_orphan_appends("t", live_txns=set()) == 0
     assert cat.read(spark, "t").count() == 200
     # superseded files reclaimed; data still intact
-    assert cat.vacuum("t") > 0
+    assert cat.vacuum("t", min_age_secs=0) > 0
     assert cat.read(spark, "t").count() == 200
     # idempotent-ish: a second compact at the same target is a no-op
     again = cat.compact(spark, "t")
@@ -386,7 +386,7 @@ def test_vacuum_removes_crc_sidecars_and_success_markers(spark, tmp_path):
     v1 = cat.snapshots("t", with_files=True)[-1]["files"]
     cat.append("t", spark.range(10, 13))  # second staging dir, still live
     cat.overwrite("t", spark.range(5))    # everything before now expired
-    cat.vacuum("t")
+    cat.vacuum("t", min_age_secs=0)
 
     data_root = os.path.join(str(tmp_path), "t", "data")
     leftovers = []
@@ -468,7 +468,7 @@ def test_catalog_model_random_op_sequences(spark, tmp_path):
             model_rows = {i: (f"l{step}" if evolved else None) for i in ids}
             evolved = evolved  # overwrite re-records ITS schema
         elif op == "vacuum":
-            cat.vacuum("m", keep_versions=rng.choice([1, 2, 3]))
+            cat.vacuum("m", keep_versions=rng.choice([1, 2, 3]), min_age_secs=0)
         elif op == "compact":
             if cat.exists("m") and model_rows:
                 st = cat.compact(spark, "m")
@@ -507,33 +507,299 @@ def test_concurrent_appends_lose_no_commits(spark, tmp_path):
     assert cat.txns("t") == {f"w:{i}" for i in range(8)}
 
 
-def test_orphan_version_claim_blocks_until_repaired(spark, tmp_path):
-    """A writer that crashed between claiming v<N> and flipping _current
-    leaves the next version permanently claimed: commits fail loudly
-    (never silently overwrite a possibly-live writer's claim), snapshots()
-    hides the unflipped orphan, and repair_orphan_version unblocks."""
-    import json as _json
+def test_commit_survives_stale_or_missing_hint(spark, tmp_path):
+    """The atomic v<N>.json link IS the commit point; _current is only an
+    advisory hint. A writer that crashed between the link and the hint
+    write (or a racing hint write that REGRESSED the pointer) must leave a
+    fully visible commit: readers probe forward, the next append continues
+    at v<N+1>, and no manual repair step exists — the round-5 liveness
+    hole (a wedged claimed-but-unflipped version) is structurally gone."""
     import os
-
-    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.sources.tables import (
-        ConcurrentCommitError,
-    )
 
     cat = Catalog(str(tmp_path))
     cat.append("t", spark.range(5), txn="a")
-    # simulate the crashed writer: claim v2 without flipping _current
-    orphan = os.path.join(str(tmp_path), "t", "_meta", "v2.json")
-    with open(orphan, "w") as f:
-        _json.dump({"version": 2, "parent": 1, "operation": "append",
-                    "manifests": [], "txn": "dead", "schema": None,
-                    "all_txns": ["a", "dead"], "committed_at": 0}, f)
-    assert [s["version"] for s in cat.snapshots("t")] == [1]  # orphan hidden
-    # time travel must refuse the unflipped claim too (review finding)
-    with pytest.raises(FileNotFoundError, match="not a committed snapshot"):
-        cat.read(spark, "t", version=2)
-    with pytest.raises(ConcurrentCommitError):
-        cat.append("t", spark.range(5, 8), txn="b")
-    assert cat.repair_orphan_version("t") == 2
     cat.append("t", spark.range(5, 8), txn="b")
-    assert cat.read(spark, "t").count() == 8
+    hint = os.path.join(str(tmp_path), "t", "_meta", "_current")
+    # simulate the crash/regression: the hint says v1 while v2 is durable
+    with open(hint, "w") as f:
+        f.write("1")
+    assert cat.read(spark, "t").count() == 8          # probe found v2
+    assert [s["version"] for s in cat.snapshots("t")] == [1, 2]
+    assert cat.read(spark, "t", version=2).count() == 8  # time travel too
     assert cat.txns("t") == {"a", "b"}
+    cat.append("t", spark.range(8, 10), txn="c")      # continues at v3
+    assert cat._read_current("t")["version"] == 3
+    with open(hint) as f:
+        assert f.read().strip() == "3"                 # hint self-healed
+    # a MISSING hint recovers from the directory listing
+    os.remove(hint)
+    assert cat.read(spark, "t").count() == 10
+    cat.append("t", spark.range(10, 11), txn="d")
+    assert cat._read_current("t")["version"] == 4
+
+
+def test_vacuum_age_gate_protects_inflight_commit(spark, tmp_path):
+    """A commit in flight has staged data + a manifest on disk that no
+    snapshot references YET (the snapshot link comes last). Vacuum must
+    not reclaim such young unreferenced files (ADVICE round-5: deleting
+    them let the subsequent link publish a snapshot over deleted files);
+    past the age gate they are genuine orphans and go."""
+    import os
+
+    cat = Catalog(str(tmp_path))
+    cat.append("t", spark.range(5))
+    # simulate the in-flight writer: stage data + manifest, no snapshot yet
+    rows = cat._stage("t", spark.range(100, 105), txn="inflight")
+    entry = cat._write_manifest("t", rows, ["inflight"])
+    stage_dir = os.path.dirname(rows[0]["path"])
+    while os.path.basename(os.path.dirname(stage_dir)) != "data":
+        stage_dir = os.path.dirname(stage_dir)
+    assert cat.vacuum("t") == 0                        # age gate: untouched
+    assert os.path.exists(entry["manifest"])
+    assert all(os.path.exists(r["path"]) for r in rows)
+    # ...so the in-flight writer can still land its commit afterwards
+    cat._commit("t", (cat._read_current("t")["manifests"]) + [entry],
+                "append", 1, txn="inflight",
+                schema=cat._read_current("t").get("schema"),
+                all_txns=cat._parent_txns("t", cat._read_current("t")))
+    assert cat.read(spark, "t").count() == 10
+    # a genuinely dead orphan (same shape, past the gate) is reclaimed
+    dead = cat._stage("t", spark.range(200, 203), txn="dead")
+    dentry = cat._write_manifest("t", dead, ["dead"])
+    old = 10_000
+    ddir = os.path.dirname(dead[0]["path"])
+
+    def _backdate(p):
+        os.utime(p, (os.path.getmtime(p) - old, os.path.getmtime(p) - old))
+
+    _backdate(dentry["manifest"])
+    _backdate(ddir)
+    for root, dirs, fs in os.walk(ddir):
+        for name in dirs + fs:  # incl. _SUCCESS/.crc markers — the gate
+            _backdate(os.path.join(root, name))  # takes the NEWEST mtime
+    assert cat.vacuum("t") == len(dead)
+    assert not os.path.exists(dentry["manifest"])
+    assert cat.read(spark, "t").count() == 10
+
+
+def test_compact_rebases_over_concurrent_append(spark, tmp_path):
+    """Round-5 verdict #1: a compact that loses its version race to an
+    append must REBASE (keep the racing append's manifest — disjoint new
+    data — and replace only the manifests it rewrote), not abort. Zero
+    rows lost on either side; txn history intact."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.sources.tables import (
+        Catalog as Cat,
+    )
+
+    class RacyCatalog(Cat):
+        """Injects one racing append between compact's snapshot read and
+        its commit attempt — a deterministic replay of the streaming-sink
+        race."""
+        raced = False
+
+        def _commit(self, table, manifests, operation, parent, **kw):
+            if operation == "compact" and not self.raced:
+                self.raced = True
+                Cat(self.root).append(table, spark.range(900, 905),
+                                      txn="racer")
+            return super()._commit(table, manifests, operation, parent, **kw)
+
+    cat = RacyCatalog(str(tmp_path))
+    for i in range(6):
+        cat.append("t", spark.range(i * 10, i * 10 + 10).coalesce(1),
+                   txn=f"s:{i}")
+    stats = cat.compact(spark, "t", target_file_bytes=1 << 30)
+    assert cat.raced and stats["version"] is not None
+    got = sorted(r.id for r in cat.read(spark, "t").collect())
+    assert got == sorted(list(range(60)) + list(range(900, 905)))
+    assert cat.txns("t") == {f"s:{i}" for i in range(6)} | {"racer"}
+    ops = [s["operation"] for s in cat.snapshots("t")]
+    assert ops[-1] == "compact" and "append" in ops[-3:]
+
+
+def test_compact_rebase_handles_merge_mixed_manifest(spark, tmp_path):
+    """Hardest rebase case: the racing append's small-manifest merge folds
+    manifests compact REWROTE together with the racer's NEW rows into one
+    manifest. The rebase must split that manifest — dropping the replaced
+    rows (the compacted entry carries them) while keeping the racer's."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.sources import tables as T
+
+    class RacyCatalog(T.Catalog):
+        raced = False
+
+        def _commit(self, table, manifests, operation, parent, **kw):
+            if operation == "compact" and not self.raced:
+                self.raced = True
+                # MERGE_MIN small manifests exist -> this append merges
+                T.Catalog(self.root).append(
+                    table, spark.range(900, 903).coalesce(1), txn="racer")
+            return super()._commit(table, manifests, operation, parent, **kw)
+
+    cat = RacyCatalog(str(tmp_path))
+    for i in range(T.MERGE_MIN - 1):
+        cat.append("t", spark.range(i * 3, i * 3 + 3).coalesce(1),
+                   txn=f"s:{i}")
+    assert len(cat._read_current("t")["manifests"]) == T.MERGE_MIN - 1
+    stats = cat.compact(spark, "t", target_file_bytes=1 << 30)
+    assert cat.raced and stats["version"] is not None
+    got = sorted(r.id for r in cat.read(spark, "t").collect())
+    want = sorted(list(range(3 * (T.MERGE_MIN - 1))) + [900, 901, 902])
+    assert got == want
+    # the racer's rows stayed ROLLBACK-REACHABLE (its manifest survived
+    # with its txn; compact's own entry is untagged by design)
+    removed = cat.remove_orphan_appends(
+        "t", live_txns={f"s:{i}" for i in range(T.MERGE_MIN - 1)})
+    assert removed >= 1
+    assert sorted(r.id for r in cat.read(spark, "t").collect()) == \
+        sorted(range(3 * (T.MERGE_MIN - 1)))
+
+
+def test_compact_aborts_when_concurrent_rollback_removed_rows(spark,
+                                                              tmp_path):
+    """A concurrent ROLLBACK removes rows compact already folded into its
+    rewrite; rebasing would resurrect them — compact must abort loudly."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.sources.tables import (
+        Catalog as Cat,
+        ConcurrentCommitError,
+    )
+
+    class RacyCatalog(Cat):
+        raced = False
+
+        def _commit(self, table, manifests, operation, parent, **kw):
+            if operation == "compact" and not self.raced:
+                self.raced = True
+                other = Cat(self.root)
+                other.remove_orphan_appends(
+                    table, live_txns={"keep-0", "keep-1"})
+            return super()._commit(table, manifests, operation, parent, **kw)
+
+    cat = RacyCatalog(str(tmp_path))
+    cat.append("t", spark.range(10).coalesce(1), txn="keep-0")
+    cat.append("t", spark.range(10, 20).coalesce(1), txn="keep-1")
+    cat.append("t", spark.range(20, 30).coalesce(1), txn="torn")
+    with pytest.raises(ConcurrentCommitError, match="stale"):
+        cat.compact(spark, "t", target_file_bytes=1 << 30)
+    # the rollback's result is intact; compact's staged output is orphaned
+    assert sorted(r.id for r in cat.read(spark, "t").collect()) == \
+        list(range(20))
+
+
+def test_compact_commits_under_sustained_appends(spark, tmp_path):
+    """The round-5 'done' bar: a background writer appending continuously
+    (a streaming sink stand-in) while compact runs — compact must commit
+    within its retry budget and ZERO rows may be lost on either side."""
+    import threading
+    import time as _time
+
+    cat = Catalog(str(tmp_path))
+    for i in range(8):
+        cat.append("t", spark.range(i * 10, i * 10 + 10).coalesce(1),
+                   txn=f"pre:{i}")
+
+    stop = threading.Event()
+    appended: list[int] = []
+
+    def appender():
+        i = 0
+        while not stop.is_set() and i < 40:
+            lo = 1000 + i * 5
+            Catalog(str(tmp_path)).append(
+                "t", spark.range(lo, lo + 5).coalesce(1), txn=f"bg:{i}")
+            appended.append(i)
+            i += 1
+            _time.sleep(0.05)
+
+    th = threading.Thread(target=appender, daemon=True)
+    th.start()
+    try:
+        _time.sleep(0.15)  # let a few appends land first
+        stats = cat.compact(spark, "t", target_file_bytes=1 << 30)
+    finally:
+        stop.set()
+        th.join(timeout=60)
+    assert stats["version"] is not None  # committed despite contention
+    want = set(range(80))
+    for i in appended:
+        want |= set(range(1000 + i * 5, 1000 + i * 5 + 5))
+    got = sorted(r.id for r in cat.read(spark, "t").collect())
+    assert got == sorted(want)
+    assert {f"bg:{i}" for i in appended} <= cat.txns("t")
+
+
+def test_commit_crash_injection_invariants(spark, tmp_path):
+    """Prescription #6: randomized crash injection at every commit step.
+    Invariants after ANY crash point: (1) the table stays readable with
+    exactly the acked rows, (2) an unacked commit is either fully
+    invisible or — iff the crash hit AFTER the atomic snapshot link —
+    fully visible with its txn recorded, (3) the next writer always
+    succeeds with no manual repair."""
+    import os
+    import random
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.sources import tables as T
+
+    class Boom(RuntimeError):
+        pass
+
+    class CrashyCatalog(T.Catalog):
+        crash_at = None  # "pre_link" | "post_link" (pre hint) | None
+
+        def _commit(self, table, manifests, operation, parent, **kw):
+            if self.crash_at == "pre_link":
+                raise Boom("crashed before the snapshot link")
+            if self.crash_at == "post_link":
+                real_replace = os.replace
+
+                def no_hint(src, dst):
+                    if dst.endswith("_current"):
+                        os.remove(src)
+                        raise Boom("crashed before the hint write")
+                    return real_replace(src, dst)
+
+                os.replace = no_hint
+                try:
+                    return super()._commit(table, manifests, operation,
+                                            parent, **kw)
+                finally:
+                    os.replace = real_replace
+            return super()._commit(table, manifests, operation, parent, **kw)
+
+    rng = random.Random(77)
+    cat = CrashyCatalog(str(tmp_path))
+    model_rows: set[int] = set()
+    model_txns: set[str] = set()
+    nxt = 0
+    for step in range(30):
+        ids = list(range(nxt, nxt + 3))
+        nxt += 3
+        txn = f"t{step}"
+        cat.crash_at = rng.choice([None, None, "pre_link", "post_link"])
+        try:
+            cat.append("t", spark.range(ids[0], ids[-1] + 1).coalesce(1),
+                       txn=txn)
+            landed = True
+        except Boom:
+            landed = False
+        cat.crash_at = None
+        if landed or cat.exists("t"):
+            got_txns = cat.txns("t")
+        if landed:
+            model_rows.update(ids)
+            model_txns.add(txn)
+        elif cat.exists("t") and txn in got_txns:
+            # crash AFTER the link: the commit is durable (and correctly
+            # so — the link is the commit point); the writer's retry/replay
+            # layer would detect it via the txn check, exactly once
+            model_rows.update(ids)
+            model_txns.add(txn)
+        if not cat.exists("t"):
+            continue
+        assert {r.id for r in cat.read(spark, "t").collect()} == model_rows
+        assert cat.txns("t") == model_txns
+    assert model_txns  # the walk exercised real commits
+    # and the table is never wedged: a clean writer always proceeds
+    v = cat.append("t", spark.range(500, 502), txn="final")
+    assert v == cat._read_current("t")["version"]
+    assert {r.id for r in cat.read(spark, "t").collect()} == \
+        model_rows | {500, 501}
