@@ -642,6 +642,17 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
     # count also materializes the leaf-reset edge cache)
     n_nodes = labels.count()
     edges0.unpersist()
+    # LSH near-dup graphs are DENSE (near-cliques): edges outnumber nodes
+    # by orders of magnitude (sf1 measurement: 1.9M symmetric edges over
+    # 5k nodes). When the label table provably fits a broadcast (we know
+    # n_nodes exactly), hint every labels-side join so the big edge list
+    # is never shuffled — each round becomes map-side lookups over edges
+    # plus tiny aggregates. Past the threshold (true web scale) the joins
+    # fall back to hash-partitioned shuffles on uniform node-id keys.
+    small = n_nodes <= collect_break_max
+
+    def bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
     edge_counts = [n_edges]
     if n_edges == 0:
         return _finish(labels, 0, False, edge_counts)
@@ -657,7 +668,8 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
             neigh = edges.select(F.col("b").alias("node"),
                                  F.col("a").alias("comp"))
         else:
-            neigh = edges.join(labels, edges["a"] == labels["node"]).select(
+            neigh = edges.join(bcast(labels),
+                               edges["a"] == labels["node"]).select(
                 F.col("b").alias("node"), "comp")
         stepped = (
             labels.unionByName(neigh)
@@ -670,7 +682,7 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
         # silently turn the jump into a no-op.
         st, jm = stepped.alias("st"), stepped.alias("jm")
         new_labels = st.join(
-            jm, F.col("st.comp") == F.col("jm.node")
+            bcast(jm), F.col("st.comp") == F.col("jm.node")
         ).select(
             F.col("st.node").alias("node"), F.col("jm.comp").alias("comp")
         ).persist()
@@ -680,8 +692,8 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
         # node) the new labels — the round's single action.
         la, lb = new_labels.alias("la"), new_labels.alias("lb")
         contracted = (
-            edges.join(la, F.col("a") == F.col("la.node"))
-            .join(lb, F.col("b") == F.col("lb.node"))
+            edges.join(bcast(la), F.col("a") == F.col("la.node"))
+            .join(bcast(lb), F.col("b") == F.col("lb.node"))
             .select(F.col("la.comp").alias("a"), F.col("lb.comp").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .distinct().persist()
@@ -758,9 +770,9 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
         st, jm, jm2 = (labels.alias("st"), labels.alias("jm"),
                        labels.alias("jm2"))
         jumped = st.join(
-            jm, F.col("st.comp") == F.col("jm.node")
+            bcast(jm), F.col("st.comp") == F.col("jm.node")
         ).join(
-            jm2, F.col("jm.comp") == F.col("jm2.node")
+            bcast(jm2), F.col("jm.comp") == F.col("jm2.node")
         ).select(
             F.col("st.node").alias("node"), F.col("jm.comp").alias("comp"),
             (F.col("jm2.comp") != F.col("jm.comp")).cast("long")
