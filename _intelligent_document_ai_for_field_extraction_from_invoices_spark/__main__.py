@@ -15,6 +15,8 @@ LLM-data-pipeline operators, so the dedup suite runs without writing code:
                 [--method shingle|minhash|simhash|embedding|hyperplane]
     ... minhash --input DIR --output CAT      # MinHash-LSH candidate pairs
     ... simhash --input DIR --output CAT      # SimHash near-dup pairs
+    ... curate  --input DIR --output CAT      # composed curation pipeline
+                [--stages ...]                # (one exactly-once txn/stage)
     ... ann     --input DIR --output CAT --query-vec 1 [--k 5] [--probes 1]
                 [--kmeans]                    # IVF ANN over embeddings
 
@@ -76,6 +78,16 @@ def _emb_n(spark, args) -> int:
     return min(n, args.limit) if args.limit is not None else n
 
 
+def _overwrite_replayed(catalog: Catalog, table: str, run_id: str) -> bool:
+    """Replay check for replace-semantics tables: this run's txn must be
+    the CURRENT snapshot's committer, not merely present in the cumulative
+    txn history — an overwrite by any later run invalidates (replaces) the
+    earlier run's output, so the earlier run must recompute on resume."""
+    txn = f"cli:{table}:{run_id}"
+    cur = catalog._read_current(table) if catalog.exists(table) else None
+    return cur is not None and cur.get("txn") == txn
+
+
 def _emit(catalog: Catalog, table: str, df, run_id: str,
           release: bool = True, mode: str = "append") -> dict:
     """Write a result table exactly-once per run id and return its stats.
@@ -84,9 +96,18 @@ def _emit(catalog: Catalog, table: str, df, run_id: str,
     --keep-one would otherwise re-run the whole iterative clustering).
     `mode="overwrite"` is for replace-semantics tables (the ANN index:
     a rebuild with a new run id must REPLACE the old index, not append a
-    second copy that fans out every later probe join)."""
+    second copy that fans out every later probe join). For overwrite
+    tables the replay check is CURRENT-SNAPSHOT txn equality, not
+    txn-history membership (review finding): after run r2 overwrote the
+    table, a resumed r1 must RECOMPUTE its state rather than silently
+    consume r2's — history says r1 committed once, but its output is
+    gone."""
     txn = f"cli:{table}:{run_id}"
-    if catalog.exists(table) and txn in catalog.txns(table):
+    if mode == "overwrite":
+        replayed = _overwrite_replayed(catalog, table, run_id)
+    else:
+        replayed = catalog.exists(table) and txn in catalog.txns(table)
+    if replayed:
         rows = None  # replayed run id: already durably committed
     else:
         df = df.persist()
@@ -148,6 +169,10 @@ def cmd_report(spark, args) -> dict:
     round 4) — and the emitted `scan` stats show exactly how much the
     prune skipped."""
     cat = Catalog(args.catalog)
+    if args.internals and (args.day or args.since or args.until
+                           or args.lineage):
+        raise SystemExit("report: --internals is a whole-catalog report; "
+                         "day/lineage flags apply to the slice reports")
     if args.internals:
         # engine observability (round-5 verdict #8): the catalog's own
         # scale claims as user-visible numbers — per table, how many
@@ -401,18 +426,20 @@ def cmd_curate(spark, args) -> dict:
     bench = (spark.read.parquet(args.benchmark) if args.benchmark
              else docs.filter(F.col("doc_id") % args.benchmark_mod == 1))
     cat = Catalog(args.output)
-    todo = curate_ops.STAGE_ORDER if not args.stages else [
-        s for s in curate_ops.STAGE_ORDER if s in args.stages]
-    unknown = set(args.stages or []) - set(curate_ops.STAGE_ORDER)
-    if unknown:
-        raise SystemExit(f"curate: unknown stages {sorted(unknown)} "
-                         f"(choose from {curate_ops.STAGE_ORDER})")
+    try:
+        todo = curate_ops.resolve_stages(args.stages)
+    except ValueError as e:
+        raise SystemExit(f"curate: {e}") from None
     cur = docs
     stages_out = {}
     for stage in todo:
         table = f"curate_{stage}"
         txn = f"cli:{table}:{args.run_id}"
-        replayed = cat.exists(table) and txn in cat.txns(table)
+        # current-snapshot replay check (review finding): a DIFFERENT
+        # run's later overwrite of this stage table invalidates this
+        # run's committed stage — resume must recompute it, never
+        # silently consume the other run's survivor set
+        replayed = _overwrite_replayed(cat, table, args.run_id)
         if not replayed:
             survivors = curate_ops.run_stage(
                 stage, cur, benchmark=bench, quota=args.quota,
@@ -430,9 +457,7 @@ def cmd_curate(spark, args) -> dict:
         stages_out[stage] = {"table": table, "txn": txn,
                              "replayed": replayed,
                              "survivors": keys.count()}
-    final_txn = f"cli:docs_curated:{args.run_id}"
-    if not (cat.exists("docs_curated")
-            and final_txn in cat.txns("docs_curated")):
+    if not _overwrite_replayed(cat, "docs_curated", args.run_id):
         _emit(cat, "docs_curated", cur, args.run_id, mode="overwrite")
     docs.unpersist()
     return {"stages": stages_out, "order": todo,

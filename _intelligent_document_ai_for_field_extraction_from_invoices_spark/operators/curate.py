@@ -48,17 +48,27 @@ STAGE_ORDER = ["host_sample", "exact", "neardup", "decontaminate", "quality"]
 CURATE_LAST_STATS: dict = {}
 
 
+def resolve_stages(stages: list[str] | None) -> list[str]:
+    """Validate a stage subset and return it in pinned execution order
+    (shared by the library composition and the CLI — review finding:
+    duplicated filtering drifted between them)."""
+    if stages is None:
+        return list(STAGE_ORDER)
+    unknown = set(stages) - set(STAGE_ORDER)
+    if unknown:
+        raise ValueError(f"unknown curate stages: {sorted(unknown)} "
+                         f"(choose from {STAGE_ORDER})")
+    return [s for s in STAGE_ORDER if s in stages]
+
+
 def exact_keep_first(docs: DataFrame, key: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Exact-duplicate keep-one: every doc whose key is the MIN of its
-    content-digest group survives (one digest groupBy — map-side combined —
-    plus one join back on the digest; no window)."""
-    digest = F.md5(F.col(_bq(text_col))).alias("_digest")
-    winners = (
-        docs.select(digest, F.col(_bq(key)))
-        .groupBy("_digest").agg(F.min(_bq(key)).alias(key))
-        .select(key)
-    )
+    content-digest group survives. The winner rule is exactly
+    `dedup.exact_dedup_groups`' canonical_id (single source of truth with
+    its DuckDB oracle); one digest groupBy + one semi join, no window."""
+    winners = dedup.exact_dedup_groups(docs, key=key, text_col=text_col) \
+        .select(F.col("canonical_id").alias(key))
     return docs.join(winners, key, "left_semi")
 
 
@@ -152,12 +162,7 @@ def curate_survivors(docs: DataFrame, benchmark: DataFrame,
     set is engine-independent and the DuckDB oracle replays it exactly.
     `with_stats=True` records per-stage survivor counts in
     CURATE_LAST_STATS (one count job per stage)."""
-    todo = STAGE_ORDER if stages is None else [
-        s for s in STAGE_ORDER if s in stages]
-    unknown = set(stages or []) - set(STAGE_ORDER)
-    if unknown:
-        raise ValueError(f"unknown curate stages: {sorted(unknown)} "
-                         f"(choose from {STAGE_ORDER})")
+    todo = resolve_stages(stages)
     counts: dict[str, int] = {}
     cur = docs
     for stage in todo:

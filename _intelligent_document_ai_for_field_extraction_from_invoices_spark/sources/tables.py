@@ -304,6 +304,19 @@ class Catalog:
         return [e for e in entries if id(e) not in small_ids] + [merged]
 
     # -- snapshot plumbing --------------------------------------------------
+    def _listdir_version(self, table: str) -> int:
+        """Newest version derivable from a _meta directory listing — the
+        recovery path when the hint is missing, corrupt, or stale past a
+        vacuum expiry gap (any existing v<N>.json is a completed commit,
+        so the max is always the current version)."""
+        meta = self._meta(table)
+        if not os.path.isdir(meta):
+            return 0
+        return max(
+            (int(fn[1:-5]) for fn in os.listdir(meta)
+             if fn.startswith("v") and fn.endswith(".json")
+             and fn[1:-5].isdigit()), default=0)
+
     def _current_version(self, table: str) -> int:
         """Newest COMMITTED version (0 = table absent). The _current hint is
         advisory: a writer may have crashed between its atomic snapshot link
@@ -316,14 +329,7 @@ class Catalog:
             with open(self._current_path(table)) as f:
                 version = int(f.read().strip())
         except (FileNotFoundError, ValueError):
-            # no/corrupt hint (crash before the table's first hint write):
-            # recover the newest version from a directory listing
-            if not os.path.isdir(meta):
-                return 0
-            version = max(
-                (int(fn[1:-5]) for fn in os.listdir(meta)
-                 if fn.startswith("v") and fn.endswith(".json")
-                 and fn[1:-5].isdigit()), default=0)
+            version = self._listdir_version(table)
         while os.path.exists(os.path.join(meta, f"v{version + 1}.json")):
             version += 1
         return version
@@ -332,8 +338,25 @@ class Catalog:
         version = self._current_version(table)
         if version == 0:
             return None
-        with open(os.path.join(self._meta(table), f"v{version}.json")) as f:
-            return self._upgrade_snap(json.load(f))
+        try:
+            with open(os.path.join(self._meta(table),
+                                   f"v{version}.json")) as f:
+                return self._upgrade_snap(json.load(f))
+        except FileNotFoundError:
+            # the hint can be stale across a vacuum EXPIRY GAP (review
+            # finding): hint says 5, v6/v7 were committed by writers that
+            # crashed before their hint writes, vacuum expired v5/v6 —
+            # the forward probe from 5 stops at the gap. Any existing
+            # v<N>.json is a completed commit, so the listing's max is
+            # authoritative; heal the hint so later reads are O(1) again.
+            version = self._listdir_version(table)
+            if version == 0:
+                return None
+            with open(os.path.join(self._meta(table),
+                                   f"v{version}.json")) as f:
+                snap = self._upgrade_snap(json.load(f))
+            self._write_hint(table, version)
+            return snap
 
     def _commit(self, table: str, manifests: list[dict], operation: str,
                 parent: int | None, txn: str | None = None,
@@ -381,11 +404,14 @@ class Catalog:
         # races (a descheduled writer can replace it with an older number);
         # readers probe forward from whatever it says, so a stale or
         # regressed hint costs stat calls, never correctness.
+        self._write_hint(table, version)
+        return version
+
+    def _write_hint(self, table: str, version: int) -> None:
         tmp = self._current_path(table) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._current_path(table))
-        return version
 
     def _commit_rebased(self, table: str, build) -> int:
         """Retry loop for rebasable commits: `build(cur)` returns the
@@ -478,8 +504,12 @@ class Catalog:
             if fn.startswith("v") and fn.endswith(".json"):
                 # every v<N>.json is a completed commit (the atomic link
                 # that created it was the commit point) — nothing to hide
-                with open(os.path.join(meta, fn)) as f:
-                    snap = self._upgrade_snap(json.load(f))
+                try:
+                    with open(os.path.join(meta, fn)) as f:
+                        snap = self._upgrade_snap(json.load(f))
+                except FileNotFoundError:
+                    continue  # expired by a concurrent vacuum between the
+                    # listing and the open — it was already historical
                 if with_files:
                     snap["files"] = self._snap_files(snap, missing_ok=True)
                 out.append(snap)
@@ -921,18 +951,25 @@ class Catalog:
                 # whole staging commit unreferenced — but a commit IN
                 # FLIGHT (staged, not yet snapshot-linked) looks exactly
                 # like this, so only a staging dir past the age gate is
-                # an orphan (age = the newest write anywhere under it)
-                newest = max([os.path.getmtime(sdir)] +
-                             [os.path.getmtime(os.path.join(r, f))
-                              for r, _d, fs in os.walk(sdir) for f in fs
-                              if os.path.exists(os.path.join(r, f))],
-                             default=0)
+                # an orphan (age = the newest write anywhere under it;
+                # files vanishing mid-walk — a concurrent vacuum's rmtree
+                # — read as age 0, i.e. skip this pass and let the next
+                # vacuum see the settled state)
+                def _mtime(p: str) -> float:
+                    try:
+                        return os.path.getmtime(p)
+                    except OSError:
+                        return time.time()
+                newest = max([_mtime(sdir)] +
+                             [_mtime(os.path.join(r, f))
+                              for r, _d, fs in os.walk(sdir) for f in fs])
                 if time.time() - newest <= min_age_secs:
                     continue
                 import shutil  # noqa: PLC0415
 
                 n += len(parquets)
-                shutil.rmtree(sdir)
+                shutil.rmtree(sdir, ignore_errors=True)  # a concurrent
+                # vacuum may have won the race for some files
             else:
                 # `live` is non-empty here, so at least one parquet always
                 # stays and the _SUCCESS marker stays meaningful; the
@@ -991,7 +1028,15 @@ class Catalog:
         # post-upgrade commit writes the summary and expiry starts working.
         if cur is not None and "all_txns" not in cur:
             keep_v.update(s["version"] for s in snaps)
-        expired = [s for s in snaps if s["version"] not in keep_v]
+        # the age gate applies to version jsons too (review finding): a
+        # concurrent reader lists _meta then opens each version file, and
+        # expiring a just-superseded version under it would race the open;
+        # readers also tolerate the vanish (snapshots() skips), so the
+        # gate is belt-and-braces for the freshest files only
+        expired = [
+            s for s in snaps
+            if s["version"] not in keep_v and _expired(
+                os.path.join(meta, f"v{s['version']}.json"))]
         if expired:
             hist = os.path.join(meta, "_history.json")
             with open(hist, "a") as f:

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q_paragraph_dedup",
     "q_repetition_stats",
     "q_host_quota_sample",
+    "q_curate_survivors",
 ]
 
 

@@ -389,7 +389,7 @@ def test_curate_stage_subset_and_unknown_stage(spark, tmp_path, capsys):
                "--stages", "host_sample", "quality")
     assert out["order"] == ["host_sample", "quality"]
     assert set(out["stages"]) == {"host_sample", "quality"}
-    with pytest.raises(SystemExit, match="unknown stages"):
+    with pytest.raises(SystemExit, match="unknown curate stages"):
         _run(capsys, "curate", "--input", sf,
              "--output", str(tmp_path / "cat2"), "--stages", "bogus")
 
@@ -451,3 +451,40 @@ def test_cc_emits_contraction_stats(spark, tmp_path, capsys):
     # rounds touch no edges); +1 for the initial count
     assert 2 <= len(st["edge_counts"]) <= st["rounds"] + 1
     assert st["edge_counts"][0] > 0 and st["edge_counts"][-1] == 0
+
+
+def test_curate_resume_after_other_run_overwrote_stages(spark, tmp_path,
+                                                        capsys,
+                                                        monkeypatch):
+    """Review regression: stage replay must check the CURRENT snapshot's
+    txn, not txn history. r1 crashes mid-pipeline; r2 completes (its
+    overwrites replace r1's stage tables); resuming r1 must RECOMPUTE its
+    early stages (txn history alone would claim them replayed and silently
+    consume r2's survivor sets)."""
+    from tests.conftest import SF_DIR as sf
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+        curate as curate_ops,
+    )
+
+    cat_dir = str(tmp_path / "cat")
+    real = curate_ops.run_stage
+
+    def boom(stage, *a, **kw):
+        if stage == "neardup":
+            raise RuntimeError("simulated crash")
+        return real(stage, *a, **kw)
+
+    monkeypatch.setattr(curate_ops, "run_stage", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        _run(capsys, "curate", "--input", sf, "--output", cat_dir,
+             "--run-id", "r1")
+    monkeypatch.setattr(curate_ops, "run_stage", real)
+    out_r2 = _run(capsys, "curate", "--input", sf, "--output", cat_dir,
+                  "--run-id", "r2")
+    # resume r1: r2's overwrites invalidated r1's committed stages
+    out_r1 = _run(capsys, "curate", "--input", sf, "--output", cat_dir,
+                  "--run-id", "r1")
+    assert all(not s["replayed"] for s in out_r1["stages"].values())
+    # same params -> deterministic -> identical survivor sets either way
+    assert out_r1["final_rows"] == out_r2["final_rows"] > 0
