@@ -37,6 +37,8 @@ from . import datagen
 from .operators import curate as curate_ops
 from .operators import dedup as dedup_ops
 from .operators import evaluate as evaluate_ops
+from .operators import packing as packing_ops
+from .operators import sampling as sampling_ops
 from .operators import similarity
 from .plans import lineage
 from .session import get_spark
@@ -465,6 +467,45 @@ def cmd_curate(spark, args) -> dict:
             "final_rows": cat.read(spark, "docs_curated").count()}
 
 
+def cmd_sample(spark, args) -> dict:
+    """Training-data assembly sampling (operators/sampling.py): source
+    mixture re-weighting (--weights src=w pairs; post-sample token shares
+    become proportional to the weights) and/or deterministic split
+    assignment (--splits name=prop pairs, default 18/1/1 train/val/test).
+    Both are exact-integer salted-hash decisions — replayable, engine- and
+    partitioning-independent."""
+    docs = _docs(spark, args)
+    out = docs
+    stats = {}
+    if args.weights:
+        weights = dict(kv.split("=") for kv in args.weights)
+        try:
+            weights = {s: int(w) for s, w in weights.items()}
+            out = sampling_ops.mixture_sample(out, weights)
+        except ValueError as e:
+            raise SystemExit(f"sample: {e}") from None
+        stats["n_sampled"] = out.count()
+    if args.splits:
+        props = dict(kv.split("=") for kv in args.splits)
+        try:
+            props = {s: int(w) for s, w in props.items()}
+            out = sampling_ops.assign_splits(out, props)
+        except ValueError as e:
+            raise SystemExit(f"sample: {e}") from None
+    return {**_emit(Catalog(args.output), "docs_sampled", out, args.run_id),
+            **stats}
+
+
+def cmd_pack(spark, args) -> dict:
+    """Sequence packing (operators/packing.py): context-window assignment
+    under concatenate-then-chop at --budget tokens per window; writes
+    (doc_id, n_tokens, seq_id, seq_offset, n_seqs_spanned)."""
+    docs = _docs(spark, args)
+    packed = packing_ops.pack_sequences(docs, budget=args.budget,
+                                        bucket_size=args.bucket_size)
+    return _emit(Catalog(args.output), "docs_packed", packed, args.run_id)
+
+
 def cmd_minhash(spark, args) -> dict:
     pairs = dedup_ops.minhash_lsh_pairs(
         _docs(spark, args), min_est_jaccard=args.min_jaccard)
@@ -648,6 +689,27 @@ def main(argv=None) -> None:
                         "is the synthetic doc_id %% MOD == 1 subset")
     p.add_argument("--benchmark-mod", type=int, default=37)
 
+    p = sub.add_parser("sample",
+                       help="mixture sampling (--weights) and/or split "
+                            "assignment (--splits) -> docs_sampled")
+    _add_common(p)
+    p.add_argument("--weights", nargs="+", default=None, metavar="SRC=W",
+                   help="integer mixture weights per source; post-sample "
+                        "token shares become proportional to them")
+    p.add_argument("--splits", nargs="+", default=None, metavar="NAME=P",
+                   help="integer split proportions "
+                        "(default test=1 train=18 val=1)")
+
+    p = sub.add_parser("pack",
+                       help="sequence packing: context-window ids under "
+                            "concatenate-then-chop -> docs_packed")
+    _add_common(p)
+    p.add_argument("--budget", type=int, default=2048,
+                   help="tokens per context window")
+    p.add_argument("--bucket-size", type=int, default=4096,
+                   help="prefix-sum bucket width (scale knob, result-"
+                        "invariant)")
+
     p = sub.add_parser("ann", help="IVF ANN top-k over embeddings")
     _add_common(p)
     p.add_argument("--query-vec", type=int, default=None)
@@ -681,6 +743,8 @@ def main(argv=None) -> None:
         "decontaminate": cmd_decontaminate,
         "paradedup": cmd_paradedup,
         "simhash": cmd_simhash,
+        "sample": cmd_sample,
+        "pack": cmd_pack,
         "ann": cmd_ann,
     }[args.cmd](spark, args)
     print(json.dumps({"cmd": args.cmd, **out}))

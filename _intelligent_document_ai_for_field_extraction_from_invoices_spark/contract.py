@@ -17,6 +17,8 @@ programmatically below (`_minhash_oracle_sql` / `_simhash_oracle_sql`).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -26,6 +28,8 @@ from .operators import (
     curate,
     dedup,
     evaluate,
+    packing,
+    sampling,
     sessionize,
     similarity,
     textstats,
@@ -276,6 +280,50 @@ def q_host_quota_sample(spark, sf_dir):
 
 
 _BENCH_MOD = 37  # docs with doc_id % 37 == 1 stand in for the eval suite
+
+# the mixture config for q_mixture_sample: sources srcN weighted 1..5 by
+# N % 5 + 1 — non-uniform on a uniform corpus, so every accept rate differs
+_MIX_WEIGHTS = {f"src{i}": (i % 5) + 1 for i in range(20)}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Source mixture sampling (sampling.mixture_sample): each source's
+    expected token share becomes proportional to its configured weight via
+    an exact-integer md5-uniform accept test — the oracle replays the
+    identical lcm/min-ratio arithmetic, so the SAMPLE hash-matches."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.mixture_sample(d, _MIX_WEIGHTS) \
+        .select("doc_id", "source", "n_tokens")
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (sampling.assign_splits,
+    18/1/1): the shard is a pure function of a salted doc-key hash; the
+    oracle replays the cumulative-threshold integer comparison."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.assign_splits(d).select("doc_id", "split")
+
+
+def q_bigram_lm_score(spark, sf_dir):
+    """CCNet-style corpus-LM quality score (textstats.bigram_logprob_score)
+    with the LM pruned to the top 64 bigrams so the OOV path is exercised:
+    per-doc average negative log-prob in integer micro-nats — the oracle
+    replays the pruned LM, the add-one smoothing, and the micro-nat
+    rounding, so cross-engine float transcendentals cannot drift the
+    hash."""
+    d = _docs_wide(spark, sf_dir)
+    return textstats.bigram_logprob_score(d, top_k=64)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing (packing.pack_sequences): context-
+    window assignment under concatenate-then-chop at 512 tokens/window,
+    computed with the two-level distributed prefix-sum (bucket_size=64
+    forces many buckets at test scale); the oracle is ONE flat global
+    window — pinning the distributed decomposition to the sequential
+    semantics."""
+    d = _t(spark, sf_dir, "documents")
+    return packing.pack_sequences(d, budget=512, bucket_size=64)
 
 
 def q_contamination(spark, sf_dir):
@@ -979,6 +1027,94 @@ ORACLES: dict[str, str] = {
         FROM documents d JOIN c ON d.source = c.source
         WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
               * cnt < 10 * 4294967296""",
+    # mixture sampling: the weight table, its lcm, and the exact-integer
+    # accept test are generated from the SAME _MIX_WEIGHTS dict the Spark
+    # side receives (lockstep by construction)
+    "q_mixture_sample": f"""
+        WITH wt(source, mult) AS (VALUES {", ".join(
+            f"('{s}', {math.lcm(*_MIX_WEIGHTS.values()) // w})"
+            for s, w in sorted(_MIX_WEIGHTS.items()))}),
+        tk AS (
+          SELECT doc_id, source,
+                 len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
+          FROM documents
+        ), ks AS (
+          SELECT tk.source, (sum(n_tokens)::BIGINT * mult)::BIGINT AS k
+          FROM tk JOIN wt ON tk.source = wt.source
+          GROUP BY tk.source, mult
+        ), km AS (SELECT min(k) AS kmin FROM ks)
+        SELECT tk.doc_id, tk.source, tk.n_tokens
+        FROM tk JOIN ks ON tk.source = ks.source, km
+        WHERE ('0x' || substring(md5(tk.doc_id::VARCHAR || ':mix'),
+                                 1, 8))::BIGINT::HUGEINT * k::HUGEINT
+              < kmin::HUGEINT * 4294967296::HUGEINT""",
+    "q_split_assign": """
+        WITH u AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(doc_id::VARCHAR || ':split'),
+                                    1, 8))::BIGINT AS u32
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN u32 * 20 < 1  * 4294967296 THEN 'test'
+                    WHEN u32 * 20 < 19 * 4294967296 THEN 'train'
+                    ELSE 'val' END AS split
+        FROM u""",
+    "q_bigram_lm_score": """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents
+        ), bg AS (
+          SELECT doc_id, array_to_string(ws[(i+1):(i+2)], ' ') AS g
+          FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+                FROM w WHERE len(ws) >= 2) s
+        ), cnt AS (
+          SELECT g, count(*) AS n FROM bg GROUP BY g
+        ), tot AS (
+          SELECT sum(n)::BIGINT AS nn, count(*)::BIGINT AS vv FROM cnt
+        ), lm AS (
+          SELECT g, n FROM cnt ORDER BY n DESC, g ASC LIMIT 64
+        ), lp AS (
+          SELECT g, round(ln((n + 1) / (nn + vv)) * 1000000)::BIGINT AS lpm
+          FROM lm, tot
+        ), oov AS (
+          SELECT round(ln(1.0 / (nn + vv)) * 1000000)::BIGINT AS lp0
+          FROM tot
+        ), sc AS (
+          SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+                 sum(coalesce(lpm, lp0))::BIGINT AS s,
+                 sum(CASE WHEN lpm IS NULL THEN 1 ELSE 0 END)::BIGINT AS o
+          FROM bg LEFT JOIN lp USING (g), oov GROUP BY bg.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+               round(-s / (n_bigrams * 1000000.0), 4) AS avg_nll,
+               round(o / n_bigrams, 4) AS oov_frac
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+    # ONE flat sequential window — the two-level distributed prefix sum in
+    # packing.pack_sequences must reproduce it exactly (integer math)
+    "q_pack_sequences": f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text,
+                   '{textstats.BPE_PRETOKEN_PATTERN.replace("'", "''")}'
+                 ))::BIGINT AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS prev
+          FROM tk
+        )
+        SELECT doc_id, n_tokens,
+               (prev // 512)::BIGINT AS seq_id,
+               (prev % 512)::BIGINT AS seq_offset,
+               (CASE WHEN n_tokens = 0 THEN 0
+                     ELSE (prev + n_tokens - 1) // 512 - prev // 512 + 1
+                END)::BIGINT AS n_seqs_spanned
+        FROM c""",
     "q_repetition_stats": f"""
         WITH body AS ({_EXTRACT_ORACLES["extract_body"]}),
         l AS (
@@ -1538,6 +1674,10 @@ QUERIES = {
     "q_paragraph_dedup": q_paragraph_dedup,
     "q_repetition_stats": q_repetition_stats,
     "q_host_quota_sample": q_host_quota_sample,
+    "q_mixture_sample": q_mixture_sample,
+    "q_split_assign": q_split_assign,
+    "q_bigram_lm_score": q_bigram_lm_score,
+    "q_pack_sequences": q_pack_sequences,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q_region_customer_stats": q_region_customer_stats,

@@ -1,0 +1,134 @@
+"""Corpus-level sampling operators for training-data assembly.
+
+Two moves every LLM pretraining run makes after curation:
+
+- **Source mixture sampling** (`mixture_sample`): the Pile/LLaMA domain-mix
+  move — re-weight heterogeneous sources so the sampled corpus's TOKEN
+  shares are proportional to configured weights (a crawl dump is not the
+  mix you train on).
+- **Deterministic split assignment** (`assign_splits`): carve held-out
+  validation/test shards by hashing the document key — stable across runs,
+  engines and partitionings, and disjoint from any other sampling decision
+  in this package (each sampler salts its hash stream).
+
+Both use the package's exact-integer accept-test discipline (see
+dedup.host_quota_sample): decisions are pure functions of (key, integer
+corpus statistics), so the DuckDB oracles reproduce every sample
+bit-for-bit and a resumed/replayed job re-derives identical output.
+
+Reference analogue: the reference pipeline has no corpus-level sampling
+(it processes one invoice at a time, executable.py main loop); these are
+the large-scale dataset operators the task brief asks for beyond the
+reference's own surface.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 2^32 as a literal; u32-hash accept tests compare against rate * 2^32
+_U32_SPAN = 1 << 32
+
+
+def _u32(key_col, salt: str):
+    """Deterministic uniform u32 from a salted md5 of the key — the same
+    doc gets the same draw on every engine/run; different salts give
+    independent streams (a doc's mixture draw must not correlate with its
+    split draw)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(key_col.cast("string"), F.lit(salt))),
+                    1, 8), 16, 10).cast("long")
+
+
+def mixture_sample(docs: DataFrame, weights: dict[str, int],
+                   key: str = "doc_id", source_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Sample `docs` so each source's expected TOKEN share is proportional
+    to its integer weight (the domain-mixing move: post-sample tokens per
+    source = w_s * min_t(T_t / w_t), i.e. the most-underrepresented source
+    relative to its weight is kept whole and every other source is
+    downsampled toward proportionality — no upsampling, so the accept rate
+    is always <= 1).
+
+    Exact-integer semantics (bit-reproducible cross-engine): with
+    L = lcm(weights) and per-source corpus token totals T_s, let
+    k_s = T_s * (L / w_s) (all integers). The limiting source minimizes
+    k_s, and doc d of source s survives iff
+
+        u32(d) * k_s  <  k_min * 2^32
+
+    evaluated in DECIMAL(38,0) (u32 is 10 digits, k_s bounded by total
+    corpus tokens * L — a 10^15-token corpus with weights <= 100 stays
+    under 29 digits, far inside exactness). Sources absent from `weights`
+    are dropped (weight 0).
+
+    Scale shape: one map-side-combined token-count aggregate per source
+    (output = #sources rows, tiny by construction — a mixture config
+    names tens of sources, not millions; per-HOST balancing is
+    dedup.host_quota_sample's job), the k table broadcast back, a 1-row
+    global min broadcast, then a narrow deterministic filter. No sort, no
+    window, no per-source buffering; the corpus stream shuffles zero
+    times."""
+    if not weights:
+        raise ValueError("mixture_sample needs at least one source weight")
+    if any((not isinstance(w, int)) or w <= 0 for w in weights.values()):
+        raise ValueError("mixture weights must be positive integers")
+    from ..operators.textstats import token_count_col  # noqa: PLC0415
+
+    lcm = reduce(math.lcm, weights.values())
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, lcm // w) for s, w in sorted(weights.items())],
+        f"{source_col} string, _mult long")
+
+    t = docs.withColumn("_tok", token_count_col(F.col(text_col)))
+    ks = (
+        t.join(F.broadcast(wdf), source_col)
+        .groupBy(source_col, "_mult")
+        .agg(F.sum("_tok").alias("_T"))
+        .select(source_col, (F.col("_T") * F.col("_mult")).alias("_k"))
+    )
+    kmin = ks.agg(F.min("_k").alias("_kmin"))
+    u = _u32(F.col(key), ":mix")
+    dec = "decimal(38,0)"
+    return (
+        t.join(F.broadcast(ks), source_col)
+        .crossJoin(F.broadcast(kmin))
+        .filter(u.cast(dec) * F.col("_k").cast(dec)
+                < F.col("_kmin").cast(dec) * F.lit(_U32_SPAN).cast(dec))
+        .withColumnRenamed("_tok", "n_tokens")
+        .drop("_k", "_kmin", "_mult")
+    )
+
+
+def assign_splits(docs: DataFrame, splits: dict[str, int] | None = None,
+                  key: str = "doc_id") -> DataFrame:
+    """Attach a deterministic `split` column partitioning the corpus into
+    named shards with integer proportions (default the classic
+    18/1/1 = 90%/5%/5% train/val/test). Doc d lands in the shard whose
+    cumulative range contains u32(d) * S (S = sum of proportions):
+    shard i owns [c_{i-1} * 2^32, c_i * 2^32) scaled by S — exact
+    integers, so the boundaries are crisp and the oracle replays them.
+
+    Shard names are assigned in SORTED name order (pinned — dict order
+    would make the layout depend on call-site spelling). Purely narrow:
+    no shuffle, no state; safe to compose anywhere in a plan."""
+    splits = splits or {"test": 1, "train": 18, "val": 1}
+    if any((not isinstance(w, int)) or w <= 0 for w in splits.values()):
+        raise ValueError("split proportions must be positive integers")
+    total = sum(splits.values())
+    u = _u32(F.col(key), ":split")
+    scaled = u * F.lit(total)  # < 2^32 * S, fits BIGINT for sane S
+    expr = None
+    cum = 0
+    for name in sorted(splits):
+        cum += splits[name]
+        cond = scaled < F.lit(cum * _U32_SPAN)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # u32 < 2^32 guarantees the last branch always catches; otherwise() is
+    # unreachable but keeps the column non-nullable-safe
+    return docs.withColumn("split", expr.otherwise(sorted(splits)[-1]))

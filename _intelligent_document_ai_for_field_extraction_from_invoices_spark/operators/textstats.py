@@ -271,3 +271,75 @@ def repetition_stats(df: DataFrame, key: str = "doc_id",
             ).alias("top_bigram_char_frac"),
         )
     )
+
+
+def bigram_logprob_score(df: DataFrame, key: str = "doc_id",
+                         text_col: str = "text",
+                         top_k: int = 50_000) -> DataFrame:
+    """CCNet-style statistical quality score (Wenzek et al. 2019 §4.3 —
+    perplexity under a corpus LM separates fluent text from gibberish):
+    per document, the average negative log-probability of its word
+    bigrams under the corpus's own add-one-smoothed bigram distribution,
+    with the LM pruned to the `top_k` most frequent bigrams (everything
+    rarer scores as an unseen event). Low `avg_nll` = stereotypical
+    fluent text; high = rare/garbled token sequences; `oov_frac` is the
+    share of a doc's bigrams outside the pruned LM (its own
+    novelty/garbage signal).
+
+    Cross-engine determinism: every log is computed on the PRUNED LM
+    table (top_k + 1 rows, never the corpus stream), immediately rounded
+    to integer MICRO-NATS (round(ln(p) * 1e6) as BIGINT), and per-doc
+    aggregation sums those integers — exact and order-independent, so the
+    DuckDB oracle hash-matches despite float transcendentals (the ln of
+    the same IEEE double differs across libms by <= 1 ulp, far inside the
+    1e-6 rounding grain). Pruning ties are total-ordered (count DESC,
+    gram ASC).
+
+    Scale shape: one explode of word 2-grams feeds BOTH the LM counts
+    (map-side-combined groupBy) and the scoring stream; the pruned LM +
+    the 1-row (N, V) totals broadcast, so scoring is a map-side lookup
+    followed by one per-doc integer-sum aggregate. The only unbounded
+    shuffle key is the uniform bigram/doc hash; the orderBy feeding the
+    prune is a TakeOrderedAndProject bounded by top_k."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), WS_RUN)
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(words) - 2),
+                    lambda i: F.array_join(F.slice(words, i + 1, 2), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = df.select(F.col(key), F.explode(bigrams).alias("g"))
+    cnt = occ.groupBy("g").agg(F.count("*").alias("n"))
+    tot = cnt.agg(F.sum("n").alias("_N"), F.count("*").alias("_V"))
+    lm = cnt.orderBy(F.col("n").desc(), F.col("g").asc()).limit(top_k)
+    lp = (
+        lm.crossJoin(F.broadcast(tot))
+        .select(
+            "g",
+            F.round(F.log((F.col("n") + 1) / (F.col("_N") + F.col("_V")))
+                    * 1e6).cast("long").alias("_lp_micro"))
+    )
+    oov = tot.select(
+        F.round(F.log(F.lit(1) / (F.col("_N") + F.col("_V")))
+                * 1e6).cast("long").alias("_lp0_micro"))
+    scored = (
+        occ.join(F.broadcast(lp), "g", "left")
+        .crossJoin(F.broadcast(oov))
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.coalesce("_lp_micro", "_lp0_micro")).alias("_s"),
+            F.sum(F.when(F.col("_lp_micro").isNull(), 1).otherwise(0))
+            .alias("_oov"),
+        )
+    )
+    return (
+        df.select(F.col(key)).join(scored, key, "left")
+        .select(
+            F.col(key),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(-F.col("_s") / (F.col("n_bigrams") * 1e6), 4)
+            .alias("avg_nll"),
+            F.round(F.col("_oov") / F.col("n_bigrams"), 4).alias("oov_frac"),
+        )
+    )

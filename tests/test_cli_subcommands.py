@@ -488,3 +488,38 @@ def test_curate_resume_after_other_run_overwrote_stages(spark, tmp_path,
     assert all(not s["replayed"] for s in out_r1["stages"].values())
     # same params -> deterministic -> identical survivor sets either way
     assert out_r1["final_rows"] == out_r2["final_rows"] > 0
+
+
+def test_sample_subcommand(spark, tmp_path, capsys):
+    cat_dir = str(tmp_path / "cat")
+    out = _run(capsys, "sample", "--input", SF_DIR, "--output", cat_dir,
+               "--weights", "src0=1", "src1=2", "src2=3",
+               "--splits", "train=8", "val=1", "--run-id", "s1")
+    assert out["table"] == "docs_sampled"
+    assert 0 < out["n_sampled"] == out["rows_written"]
+    rows = Catalog(cat_dir).read(spark, "docs_sampled").collect()
+    assert {r.split for r in rows} <= {"train", "val"}
+    assert {r.source for r in rows} <= {"src0", "src1", "src2"}
+    # replay: exactly-once no-op
+    out2 = _run(capsys, "sample", "--input", SF_DIR, "--output", cat_dir,
+                "--weights", "src0=1", "src1=2", "src2=3",
+                "--splits", "train=8", "val=1", "--run-id", "s1")
+    assert out2["rows_written"] is None
+
+
+def test_sample_subcommand_rejects_bad_weights(tmp_path, capsys):
+    with pytest.raises(SystemExit, match="positive integers"):
+        _run(capsys, "sample", "--input", SF_DIR,
+             "--output", str(tmp_path / "cat"), "--weights", "src0=0")
+
+
+def test_pack_subcommand(spark, tmp_path, capsys):
+    cat_dir = str(tmp_path / "cat")
+    out = _run(capsys, "pack", "--input", SF_DIR, "--output", cat_dir,
+               "--budget", "256", "--run-id", "p1")
+    assert out["table"] == "docs_packed" and out["rows_written"] > 0
+    rows = Catalog(cat_dir).read(spark, "docs_packed").collect()
+    # windows tile the corpus: total tokens == last doc's start + its span
+    total = sum(r.n_tokens for r in rows)
+    last = max(rows, key=lambda r: (r.seq_id, r.seq_offset))
+    assert last.seq_id * 256 + last.seq_offset + last.n_tokens == total

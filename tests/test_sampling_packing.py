@@ -1,0 +1,224 @@
+"""Round-6 training-data assembly operators: source mixture sampling,
+deterministic splits, bigram-LM quality scoring, sequence packing.
+
+Each operator's DuckDB oracle parity is covered by tests/test_oracle_parity
+(q_mixture_sample / q_split_assign / q_bigram_lm_score / q_pack_sequences);
+these tests pin the SEMANTICS against pure-Python references and the
+operators' scale-shape invariants (partitioning independence, exactness)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+    packing,
+    sampling,
+)
+from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators.textstats import (
+    bigram_logprob_score,
+)
+
+
+def _u32(key: int, salt: str) -> int:
+    return int(hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:8], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(3 + i % 9)),
+         f"s{i % 4}")
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+class TestMixtureSample:
+    def test_matches_python_reference(self, docs):
+        weights = {"s0": 1, "s1": 2, "s2": 3, "s3": 4}
+        got = {r.doc_id for r in
+               sampling.mixture_sample(docs, weights).collect()}
+        # pure-Python replay of the documented exact-integer semantics
+        rows = [(r.doc_id, r.source, len(r.text.split())) for r in
+                docs.collect()]
+        lcm = math.lcm(*weights.values())
+        tot = {}
+        for _, s, n in rows:
+            tot[s] = tot.get(s, 0) + n
+        k = {s: tot[s] * (lcm // w) for s, w in weights.items()}
+        kmin = min(k.values())
+        want = {d for d, s, _ in rows
+                if _u32(d, ":mix") * k[s] < kmin * (1 << 32)}
+        assert got == want
+        assert 0 < len(got) < docs.count()
+
+    def test_token_shares_track_weights(self, docs):
+        weights = {"s0": 1, "s1": 1, "s2": 4, "s3": 4}
+        out = (
+            sampling.mixture_sample(docs, weights)
+            .groupBy("source").agg(F.sum("n_tokens").alias("t"))
+            .collect()
+        )
+        t = {r.source: r.t for r in out}
+        # post-sample token mass must be ~proportional to weights: the
+        # weight-4 sources keep ~4x the weight-1 sources' tokens (exact
+        # proportionality holds in expectation; 200 docs leaves sampling
+        # noise, so assert a generous band around 4x)
+        light = t["s0"] + t["s1"]
+        heavy = t["s2"] + t["s3"]
+        assert 2.0 < heavy / light < 8.0
+
+    def test_unweighted_source_dropped_and_limiting_kept_whole(self, docs):
+        weights = {"s0": 1, "s1": 1000}
+        out = sampling.mixture_sample(docs, weights)
+        srcs = {r.source for r in out.select("source").distinct().collect()}
+        assert srcs <= {"s0", "s1"}
+        # s1's enormous weight makes it the limiting source -> kept whole
+        n_s1 = docs.filter(F.col("source") == "s1").count()
+        assert out.filter(F.col("source") == "s1").count() == n_s1
+        # while s0 is downsampled hard
+        assert out.filter(F.col("source") == "s0").count() < n_s1 // 2
+
+    def test_rejects_bad_weights(self, docs):
+        with pytest.raises(ValueError):
+            sampling.mixture_sample(docs, {})
+        with pytest.raises(ValueError):
+            sampling.mixture_sample(docs, {"s0": 0})
+        with pytest.raises(ValueError):
+            sampling.mixture_sample(docs, {"s0": 1.5})
+
+
+class TestAssignSplits:
+    def test_matches_python_reference_and_partition_invariance(self, docs):
+        out = {r.doc_id: r.split
+               for r in sampling.assign_splits(docs).collect()}
+        names = sorted(["test", "train", "val"])
+        props = {"test": 1, "train": 18, "val": 1}
+        for d in out:
+            u = _u32(d, ":split") * 20
+            cum = 0
+            for nm in names:
+                cum += props[nm]
+                if u < cum * (1 << 32):
+                    assert out[d] == nm
+                    break
+        out2 = {r.doc_id: r.split
+                for r in sampling.assign_splits(
+                    docs.repartition(7)).collect()}
+        assert out == out2
+
+    def test_proportions(self, spark):
+        big = spark.range(5000).select(
+            F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+        out = sampling.assign_splits(big).groupBy("split").count().collect()
+        frac = {r.split: r["count"] / 5000 for r in out}
+        assert abs(frac["train"] - 0.9) < 0.03
+        assert abs(frac["val"] - 0.05) < 0.02
+        assert abs(frac["test"] - 0.05) < 0.02
+
+    def test_split_stream_independent_of_mix_stream(self, docs):
+        # the two samplers salt their hash streams differently; identical
+        # streams would correlate held-out membership with mixture survival
+        assert _u32(17, ":mix") != _u32(17, ":split")
+
+
+class TestBigramLmScore:
+    def test_matches_python_reference(self, spark):
+        texts = ["the cat sat on the mat", "the cat sat", "xyzzy plugh",
+                 "on the mat the cat", "single", ""]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        got = {r.doc_id: (r.n_bigrams, r.avg_nll, r.oov_frac)
+               for r in bigram_logprob_score(df, top_k=3).collect()}
+        # pure-Python replay
+        bgs = {}
+        for i, t in enumerate(texts):
+            ws = t.split()
+            bgs[i] = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        cnt = {}
+        for gs in bgs.values():
+            for g in gs:
+                cnt[g] = cnt.get(g, 0) + 1
+        n_tot, v = sum(cnt.values()), len(cnt)
+        lm = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+        lp = {g: round(math.log((c + 1) / (n_tot + v)) * 1e6)
+              for g, c in lm.items()}
+        lp0 = round(math.log(1 / (n_tot + v)) * 1e6)
+        for i, gs in bgs.items():
+            if not gs:
+                assert got[i] == (0, None, None)
+                continue
+            s = sum(lp.get(g, lp0) for g in gs)
+            oov = sum(1 for g in gs if g not in lp)
+            assert got[i][0] == len(gs)
+            assert got[i][1] == pytest.approx(
+                round(-s / (len(gs) * 1e6), 4), abs=1e-9)
+            assert got[i][2] == pytest.approx(
+                round(oov / len(gs), 4), abs=1e-9)
+
+    def test_fluent_scores_below_garbled(self, spark):
+        fluent = "the cat sat on the mat " * 10
+        rare = " ".join(f"zq{i} xv{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [(0, fluent), (1, rare)] + [(i, fluent) for i in range(2, 12)],
+            "doc_id long, text string")
+        out = {r.doc_id: r.avg_nll
+               for r in bigram_logprob_score(df, top_k=10).collect()}
+        assert out[0] < out[1]
+
+
+class TestPackSequences:
+    def _reference(self, rows, budget):
+        # sequential concatenate-then-chop replay
+        want, cum = {}, 0
+        for d, n in sorted(rows):
+            seq, off = divmod(cum, budget)
+            spanned = 0 if n == 0 else (cum + n - 1) // budget - seq + 1
+            want[d] = (n, seq, off, spanned)
+            cum += n
+        return want
+
+    def test_matches_sequential_reference(self, spark):
+        rows = [(i, f"{'tok ' * (i % 40)}") for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = packing.pack_sequences(df, budget=64, bucket_size=16)
+        got = {r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset,
+                          r.n_seqs_spanned) for r in out.collect()}
+        toks = {r.doc_id: r.n_tokens for r in out.collect()}
+        assert got == self._reference(list(toks.items()), 64)
+
+    def test_bucket_size_and_partitioning_invariance(self, spark):
+        df = spark.createDataFrame(
+            [(i, "w " * (1 + i % 13)) for i in range(500)],
+            "doc_id long, text string")
+        base = sorted(map(tuple, packing.pack_sequences(
+            df, budget=100, bucket_size=7).collect()))
+        for bs, parts in [(1, 3), (64, 11), (10_000, 2)]:
+            other = sorted(map(tuple, packing.pack_sequences(
+                df.repartition(parts), budget=100,
+                bucket_size=bs).collect()))
+            assert other == base
+
+    def test_offsets_tile_the_token_stream(self, spark):
+        # every window is filled exactly: doc k's (seq_id, seq_offset)
+        # equals the position right after doc k-1's tokens
+        df = spark.createDataFrame(
+            [(i, "a b c d e f g"[: 2 * (1 + i % 7) - 1]) for i in range(64)],
+            "doc_id long, text string")
+        rows = sorted(map(tuple, packing.pack_sequences(
+            df, budget=5, bucket_size=8).collect()))
+        cum = 0
+        for _, n, seq, off, _sp in rows:
+            assert (seq, off) == divmod(cum, 5)
+            cum += n
+
+    def test_rejects_bad_params(self, spark):
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            packing.pack_sequences(df, budget=0)
+        with pytest.raises(ValueError):
+            packing.pack_sequences(df, bucket_size=0)
