@@ -23,6 +23,7 @@ import weakref
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from .textstats import SPARK_SQL_WS_RUN, WS_RUN
 
@@ -34,6 +35,12 @@ LSH_BANDS = 4  # 4 bands x 4 rows
 # edges entering each round]} — so tests and BENCH.md can pin how fast a
 # graph shape converges without instrumenting Spark
 CC_LAST_STATS: dict = {}
+
+# connected_components: once contraction shrinks the quotient graph under
+# this many edges, its components are finished with a driver union-find
+# instead of further Spark rounds (a few MB of (id, id) rows collect; the
+# label TABLE never does). Module-level so tests can pin it (0 disables).
+UF_BREAK_MAX = 500_000
 
 # Scoped-cache registry: hot-path operators cache DataFrames that feed
 # multiple plan branches (self-join sides, count+anti-join). The registry
@@ -602,6 +609,8 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
     (contract.py q_neardup_components)."""
     spark = pairs.sparkSession
     collect_break_max = 200_000
+    uf_break_max = UF_BREAK_MAX
+    uf_edges = None
 
     def _leaf_reset(df: DataFrame, n_rows: int) -> DataFrame:
         """Replace a DataFrame's plan with a materialized leaf. Driver
@@ -616,6 +625,8 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
         CC_LAST_STATS.clear()
         CC_LAST_STATS.update(rounds=rounds, fastpath=fastpath,
                              edge_counts=edge_counts)
+        if uf_edges is not None:
+            CC_LAST_STATS["driver_uf_edges"] = uf_edges
         register_cache(labels)
         return labels.select(F.col("node").alias(out_key),
                              F.col("comp").alias("component_id"))
@@ -716,6 +727,63 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
         new_labels.unpersist()
         new_labels = broken_l.persist() \
             if n_nodes <= collect_break_max else broken_l
+        if 0 < n_edges <= uf_break_max:
+            # DRIVER EPILOGUE (round-6): once contraction has shrunk the
+            # quotient graph under the collect bound, spinning more Spark
+            # rounds is pure overhead — each costs joins, a count job and
+            # leaf resets to move a few hundred thousand longs. Collect
+            # the residual edges (<= uf_break_max rows of two ids, a few
+            # MB), finish the quotient components with a driver
+            # union-find (min id = root, exactly the fixpoint the loop
+            # converges to), and fold the root map back over the label
+            # table with ONE broadcast left join. Earlier-round pointer
+            # chains are untouched — the jump epilogue below still
+            # resolves them — but every residual-edge dependency is now
+            # closed, so this replaces an unbounded tail of contraction
+            # rounds with one narrow job. sf1 measurement: the 211k-edge
+            # quotient after round 1 took 2 more contraction rounds +
+            # epilogue (~8 s); the union-find path closes it in <1 s.
+            parent: dict = {}
+
+            def _find(x):
+                r = x
+                while parent.setdefault(r, r) != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in contracted.collect():
+                ra, rb = _find(row[0]), _find(row[1])
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            mapping = [(q, _find(q)) for q in list(parent)]
+            mapping = [(q, r) for q, r in mapping if q != r]
+            contracted.unpersist()
+            qt = contracted.schema["a"].dataType
+            mdf = spark.createDataFrame(
+                mapping,
+                StructType([StructField("_q", qt), StructField("_r", qt)]))
+            lab = new_labels.alias("lab")
+            relabeled = lab.join(
+                F.broadcast(mdf), F.col("lab.comp") == F.col("_q"), "left"
+            ).select(
+                F.col("lab.node").alias("node"),
+                F.coalesce(F.col("_r"), F.col("lab.comp")).alias("comp"),
+            )
+            # materialize the relabel, then drop the pre-relabel cache —
+            # leaving it persisted leaks the block past release_caches()
+            broken_r = _leaf_reset(relabeled, n_nodes)
+            new_labels.unpersist()
+            new_labels = broken_r.persist() \
+                if n_nodes <= collect_break_max else broken_r
+            uf_edges = n_edges
+            edge_counts.append(0)
+            prev = labels = new_labels
+            edges = None
+            break
         if n_edges > 0:
             broken_e = _leaf_reset(contracted, n_edges)
             contracted.unpersist()

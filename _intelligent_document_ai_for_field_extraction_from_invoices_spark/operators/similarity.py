@@ -30,13 +30,19 @@ def _unit_vectors(emb: DataFrame, key: str, vec_col: str) -> DataFrame:
     cosine is a single dot-product fold — shared by both embedding
     near-dup paths (IVF and hyperplane-LSH) so precision/guard changes
     can't desynchronize them."""
+    # O(dim) per row, NOT the obvious two-step select: projecting `nrm`
+    # in one select and dividing inside transform() in the next lets
+    # Catalyst's CollapseProject inline the whole norm FOLD into the
+    # per-element lambda — the 768-term sum re-evaluates for EVERY
+    # element, O(dim^2)/row (measured: 43 s to normalize 20k x 768 at
+    # sf1, vs ~2 s for this shape). array_repeat evaluates the norm
+    # ONCE per row and zip_with divides elementwise against the
+    # materialized copies; the emitted values are bit-identical.
+    v = F.col(_bq(vec_col))
     return emb.select(
-        F.col(_bq(key)), _norm(F.col(_bq(vec_col))).alias("nrm"),
-        F.col(_bq(vec_col))
-    ).select(
         F.col(_bq(key)),
-        F.transform(F.col(_bq(vec_col)),
-                    lambda x: x.cast("double") / F.col("nrm")).alias("uvec"),
+        F.zip_with(v, F.array_repeat(_norm(v), F.size(v)),
+                   lambda x, n: x.cast("double") / n).alias("uvec"),
     )
 
 

@@ -35,11 +35,28 @@ def test_components_converge_on_long_chain(spark):
     dedup.release_caches()
 
 
-def test_components_raise_instead_of_partial_labels(spark):
+def test_components_raise_instead_of_partial_labels(spark, monkeypatch):
+    # the driver union-find would (correctly) close a tiny residual graph,
+    # so disable it to exercise the distributed non-convergence guard
+    monkeypatch.setattr(dedup, "UF_BREAK_MAX", 0)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="converge"):
         dedup.connected_components(chain, max_iters=2)
+    dedup.release_caches()
+
+
+def test_long_chain_closed_by_driver_union_find(spark):
+    # same 30-node chain, default bounds: round-1 contraction leaves a
+    # residual quotient under UF_BREAK_MAX, the driver union-find closes
+    # it, and every node lands in the single min-labelled component
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long")
+    comps = dedup.connected_components(chain, max_iters=2)
+    rows = comps.collect()
+    assert {r.component_id for r in rows} == {0}
+    assert len(rows) == 31
+    assert dedup.CC_LAST_STATS.get("driver_uf_edges", 0) > 0
     dedup.release_caches()
 
 
