@@ -1042,7 +1042,7 @@ ORACLES: dict[str, str] = {
           SELECT tk.source, (sum(n_tokens)::BIGINT * mult)::BIGINT AS k
           FROM tk JOIN wt ON tk.source = wt.source
           GROUP BY tk.source, mult
-        ), km AS (SELECT min(k) AS kmin FROM ks)
+        ), km AS (SELECT min(k) AS kmin FROM ks WHERE k > 0)
         SELECT tk.doc_id, tk.source, tk.n_tokens
         FROM tk JOIN ks ON tk.source = ks.source, km
         WHERE ('0x' || substring(md5(tk.doc_id::VARCHAR || ':mix'),

@@ -92,7 +92,11 @@ def mixture_sample(docs: DataFrame, weights: dict[str, int],
         .agg(F.sum("_tok").alias("_T"))
         .select(source_col, (F.col("_T") * F.col("_mult")).alias("_k"))
     )
-    kmin = ks.agg(F.min("_k").alias("_kmin"))
+    # min over POSITIVE k only: a weighted source with zero corpus tokens
+    # has k = 0, and letting it set kmin would silently empty the entire
+    # sample; excluded, it keeps its (token-free) docs via u32 * 0 < kmin
+    # while every token-bearing source stays proportional
+    kmin = ks.filter(F.col("_k") > 0).agg(F.min("_k").alias("_kmin"))
     u = _u32(F.col(key), ":mix")
     dec = "decimal(38,0)"
     return (

@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "q_repetition_stats",
     "q_host_quota_sample",
     "q_curate_survivors",
+    "q_mixture_sample",
+    "q_split_assign",
+    "q_bigram_lm_score",
+    "q_pack_sequences",
 ]
 
 

@@ -83,6 +83,18 @@ class TestMixtureSample:
         # while s0 is downsampled hard
         assert out.filter(F.col("source") == "s0").count() < n_s1 // 2
 
+    def test_zero_token_source_cannot_empty_the_sample(self, spark):
+        # a weighted source whose docs have no tokens must not set the
+        # limiting ratio (k=0 would silently drop EVERYTHING); it keeps
+        # its token-free docs and the others stay proportional
+        df = spark.createDataFrame(
+            [(i, "w x y z", "a") for i in range(50)]
+            + [(100 + i, "", "b") for i in range(5)],
+            "doc_id long, text string, source string")
+        out = sampling.mixture_sample(df, {"a": 1, "b": 1})
+        assert out.filter(F.col("source") == "a").count() == 50
+        assert out.filter(F.col("source") == "b").count() == 5
+
     def test_rejects_bad_weights(self, docs):
         with pytest.raises(ValueError):
             sampling.mixture_sample(docs, {})
