@@ -474,26 +474,37 @@ def cmd_sample(spark, args) -> dict:
     assignment (--splits name=prop pairs, default 18/1/1 train/val/test).
     Both are exact-integer salted-hash decisions — replayable, engine- and
     partitioning-independent."""
+    def _kv_ints(pairs: list[str], flag: str) -> dict:
+        # the whole parse lives under one error path: a pair missing '='
+        # (or with a second one) must exit "sample: ...", not traceback
+        try:
+            d = {}
+            for kv in pairs:
+                s, w = kv.split("=")
+                d[s] = int(w)
+            return d
+        except ValueError as e:
+            raise SystemExit(
+                f"sample: bad {flag} entry (want NAME=INT): {e}") from None
+
     docs = _docs(spark, args)
     out = docs
-    stats = {}
     if args.weights:
-        weights = dict(kv.split("=") for kv in args.weights)
         try:
-            weights = {s: int(w) for s, w in weights.items()}
-            out = sampling_ops.mixture_sample(out, weights)
+            out = sampling_ops.mixture_sample(
+                out, _kv_ints(args.weights, "--weights"))
         except ValueError as e:
             raise SystemExit(f"sample: {e}") from None
-        stats["n_sampled"] = out.count()
     if args.splits:
-        props = dict(kv.split("=") for kv in args.splits)
         try:
-            props = {s: int(w) for s, w in props.items()}
-            out = sampling_ops.assign_splits(out, props)
+            out = sampling_ops.assign_splits(
+                out, _kv_ints(args.splits, "--splits"))
         except ValueError as e:
             raise SystemExit(f"sample: {e}") from None
-    return {**_emit(Catalog(args.output), "docs_sampled", out, args.run_id),
-            **stats}
+    # rows_written IS the sample size (assign_splits only adds a column);
+    # a separate out.count() would run the whole pipeline twice and break
+    # the cheap-replay contract on replayed run ids
+    return _emit(Catalog(args.output), "docs_sampled", out, args.run_id)
 
 
 def cmd_pack(spark, args) -> dict:

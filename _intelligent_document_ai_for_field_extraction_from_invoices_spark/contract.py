@@ -1039,7 +1039,7 @@ ORACLES: dict[str, str] = {
                  len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
           FROM documents
         ), ks AS (
-          SELECT tk.source, (sum(n_tokens)::BIGINT * mult)::BIGINT AS k
+          SELECT tk.source, sum(n_tokens)::HUGEINT * mult::HUGEINT AS k
           FROM tk JOIN wt ON tk.source = wt.source
           GROUP BY tk.source, mult
         ), km AS (SELECT min(k) AS kmin FROM ks WHERE k > 0)

@@ -86,11 +86,18 @@ def mixture_sample(docs: DataFrame, weights: dict[str, int],
         f"{source_col} string, _mult long")
 
     t = docs.withColumn("_tok", token_count_col(F.col(text_col)))
+    # k in DECIMAL(38,0) from the start: coprime-heavy weight sets make
+    # L (and so _mult) combinatorially large, and a BIGINT _T * _mult
+    # would overflow around 2^63 — under ANSI mode that kills the job.
+    # The docstring's 38-digit headroom only holds if the MULTIPLY is
+    # decimal too (oracle mirrors with HUGEINT).
     ks = (
         t.join(F.broadcast(wdf), source_col)
         .groupBy(source_col, "_mult")
         .agg(F.sum("_tok").alias("_T"))
-        .select(source_col, (F.col("_T") * F.col("_mult")).alias("_k"))
+        .select(source_col,
+                (F.col("_T").cast("decimal(38,0)") * F.col("_mult"))
+                .alias("_k"))
     )
     # min over POSITIVE k only: a weighted source with zero corpus tokens
     # has k = 0, and letting it set kmin would silently empty the entire
@@ -102,8 +109,8 @@ def mixture_sample(docs: DataFrame, weights: dict[str, int],
     return (
         t.join(F.broadcast(ks), source_col)
         .crossJoin(F.broadcast(kmin))
-        .filter(u.cast(dec) * F.col("_k").cast(dec)
-                < F.col("_kmin").cast(dec) * F.lit(_U32_SPAN).cast(dec))
+        .filter(u.cast(dec) * F.col("_k")
+                < F.col("_kmin") * F.lit(_U32_SPAN).cast(dec))
         .withColumnRenamed("_tok", "n_tokens")
         .drop("_k", "_kmin", "_mult")
     )

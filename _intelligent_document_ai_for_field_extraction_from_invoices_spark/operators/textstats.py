@@ -295,12 +295,16 @@ def bigram_logprob_score(df: DataFrame, key: str = "doc_id",
     1e-6 rounding grain). Pruning ties are total-ordered (count DESC,
     gram ASC).
 
-    Scale shape: one explode of word 2-grams feeds BOTH the LM counts
-    (map-side-combined groupBy) and the scoring stream; the pruned LM +
-    the 1-row (N, V) totals broadcast, so scoring is a map-side lookup
-    followed by one per-doc integer-sum aggregate. The only unbounded
-    shuffle key is the uniform bigram/doc hash; the orderBy feeding the
-    prune is a TakeOrderedAndProject bounded by top_k."""
+    Scale shape: train-then-score is inherently two passes — the corpus
+    text is exploded into 2-grams once for the LM counts
+    (map-side-combined groupBy) and AGAIN for the scoring stream, since
+    scoring depends on the completed broadcast LM (caching the exploded
+    stream to share it would cost corpus-scale memory for a narrow,
+    cheap-to-recompute projection). The pruned LM + the 1-row (N, V)
+    totals broadcast, so scoring is a map-side lookup followed by one
+    per-doc integer-sum aggregate. The only unbounded shuffle keys are
+    the uniform bigram/doc hashes; the orderBy feeding the prune is a
+    TakeOrderedAndProject bounded by top_k."""
     t = F.col(text_col)
     words = F.split(F.trim(t), WS_RUN)
     bigrams = F.when(

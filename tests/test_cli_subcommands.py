@@ -496,7 +496,7 @@ def test_sample_subcommand(spark, tmp_path, capsys):
                "--weights", "src0=1", "src1=2", "src2=3",
                "--splits", "train=8", "val=1", "--run-id", "s1")
     assert out["table"] == "docs_sampled"
-    assert 0 < out["n_sampled"] == out["rows_written"]
+    assert out["rows_written"] > 0
     rows = Catalog(cat_dir).read(spark, "docs_sampled").collect()
     assert {r.split for r in rows} <= {"train", "val"}
     assert {r.source for r in rows} <= {"src0", "src1", "src2"}
@@ -511,6 +511,11 @@ def test_sample_subcommand_rejects_bad_weights(tmp_path, capsys):
     with pytest.raises(SystemExit, match="positive integers"):
         _run(capsys, "sample", "--input", SF_DIR,
              "--output", str(tmp_path / "cat"), "--weights", "src0=0")
+    # malformed KV pairs exit cleanly too (no '=' / non-int / double '=')
+    for bad in ("src0", "src0=x", "src0=1=2"):
+        with pytest.raises(SystemExit, match="sample: bad --weights"):
+            _run(capsys, "sample", "--input", SF_DIR,
+                 "--output", str(tmp_path / "cat"), "--weights", bad)
 
 
 def test_pack_subcommand(spark, tmp_path, capsys):
@@ -519,7 +524,11 @@ def test_pack_subcommand(spark, tmp_path, capsys):
                "--budget", "256", "--run-id", "p1")
     assert out["table"] == "docs_packed" and out["rows_written"] > 0
     rows = Catalog(cat_dir).read(spark, "docs_packed").collect()
-    # windows tile the corpus: total tokens == last doc's start + its span
+    # windows tile the corpus: total tokens == last doc's start + its
+    # span. Key on start+span: a zero-token doc shares its (seq_id,
+    # seq_offset) with the next doc's start, so the plain positional max
+    # could tie-break onto the empty doc and understate the end
     total = sum(r.n_tokens for r in rows)
-    last = max(rows, key=lambda r: (r.seq_id, r.seq_offset))
+    last = max(rows, key=lambda r: r.seq_id * 256 + r.seq_offset
+               + r.n_tokens)
     assert last.seq_id * 256 + last.seq_offset + last.n_tokens == total
