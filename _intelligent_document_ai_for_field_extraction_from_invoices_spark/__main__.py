@@ -86,7 +86,7 @@ def _overwrite_replayed(catalog: Catalog, table: str, run_id: str) -> bool:
     txn history — an overwrite by any later run invalidates (replaces) the
     earlier run's output, so the earlier run must recompute on resume."""
     txn = f"cli:{table}:{run_id}"
-    cur = catalog._read_current(table) if catalog.exists(table) else None
+    cur = catalog._read_current(table)  # None when the table doesn't exist
     return cur is not None and cur.get("txn") == txn
 
 
@@ -459,8 +459,7 @@ def cmd_curate(spark, args) -> dict:
         stages_out[stage] = {"table": table, "txn": txn,
                              "replayed": replayed,
                              "survivors": keys.count()}
-    if not _overwrite_replayed(cat, "docs_curated", args.run_id):
-        _emit(cat, "docs_curated", cur, args.run_id, mode="overwrite")
+    _emit(cat, "docs_curated", cur, args.run_id, mode="overwrite")
     docs.unpersist()
     return {"stages": stages_out, "order": todo,
             "final_table": "docs_curated",
@@ -503,8 +502,11 @@ def cmd_sample(spark, args) -> dict:
             raise SystemExit(f"sample: {e}") from None
     # rows_written IS the sample size (assign_splits only adds a column);
     # a separate out.count() would run the whole pipeline twice and break
-    # the cheap-replay contract on replayed run ids
-    return _emit(Catalog(args.output), "docs_sampled", out, args.run_id)
+    # the cheap-replay contract on replayed run ids. Overwrite: the table
+    # holds ONE run's sample — appending a second run's (possibly
+    # different-config) sample would union incompatible decisions
+    return _emit(Catalog(args.output), "docs_sampled", out, args.run_id,
+                 mode="overwrite")
 
 
 def cmd_pack(spark, args) -> dict:
@@ -514,7 +516,10 @@ def cmd_pack(spark, args) -> dict:
     docs = _docs(spark, args)
     packed = packing_ops.pack_sequences(docs, budget=args.budget,
                                         bucket_size=args.bucket_size)
-    return _emit(Catalog(args.output), "docs_packed", packed, args.run_id)
+    # overwrite: (seq_id, seq_offset) is a per-run ASSIGNMENT — two runs'
+    # assignments for the same docs must never coexist in one table
+    return _emit(Catalog(args.output), "docs_packed", packed, args.run_id,
+                 mode="overwrite")
 
 
 def cmd_minhash(spark, args) -> dict:

@@ -33,6 +33,13 @@ from pyspark.sql import functions as F
 # 2^32 as a literal; u32-hash accept tests compare against rate * 2^32
 _U32_SPAN = 1 << 32
 
+# Largest k the decimal(38,0) accept test tolerates: both u32 * k (u32 up
+# to 2^32 - 1) and kmin * 2^32 must stay under 10^38. Beyond this Spark's
+# non-ANSI decimal arithmetic would return NULL and SILENTLY DROP rows
+# (worst case: empty the whole sample) — so k is runtime-guarded to raise
+# loudly instead, mirroring the DuckDB oracle's hard HUGEINT overflow error.
+_K_MAX = (10**38 - 1) // _U32_SPAN  # ~2.33e28
+
 
 def _u32(key_col, salt: str):
     """Deterministic uniform u32 from a salted md5 of the key — the same
@@ -42,6 +49,21 @@ def _u32(key_col, salt: str):
     return F.conv(
         F.substring(F.md5(F.concat(key_col.cast("string"), F.lit(salt))),
                     1, 8), 16, 10).cast("long")
+
+
+def _guard_k(k, source_col: str):
+    """Overflow guard on a per-source k (decimal(38,0)): non-ANSI decimal
+    arithmetic turns overflow into NULL, which would make the accept test
+    silently drop rows — instead raise at evaluation time. NULL here can
+    only mean the T*mult multiply itself overflowed (both inputs are
+    non-null by construction)."""
+    # str-typed literal: _K_MAX exceeds the JVM long that F.lit(int) maps to
+    too_big = k.isNull() | (k > F.lit(str(_K_MAX)).cast("decimal(38,0)"))
+    return F.when(too_big, F.raise_error(F.concat(
+        F.lit("mixture_sample: k for source '"), F.col(source_col),
+        F.lit(f"' exceeds decimal(38,0) accept-test headroom ({_K_MAX}); "
+              "reduce weight coprimality or pre-shard the corpus"),
+    ))).otherwise(k)
 
 
 def mixture_sample(docs: DataFrame, weights: dict[str, int],
@@ -63,8 +85,15 @@ def mixture_sample(docs: DataFrame, weights: dict[str, int],
 
     evaluated in DECIMAL(38,0) (u32 is 10 digits, k_s bounded by total
     corpus tokens * L — a 10^15-token corpus with weights <= 100 stays
-    under 29 digits, far inside exactness). Sources absent from `weights`
-    are dropped (weight 0).
+    under 29 digits, far inside exactness). The envelope is ENFORCED, not
+    assumed: any k_s > (10^38 - 1) / 2^32 (~2.3e28 — reachable only with
+    pathological coprime-heavy weight sets on enormous corpora) raises at
+    evaluation time via a guard column, because Spark's non-ANSI decimal
+    overflow otherwise yields NULL and silently drops rows; the DuckDB
+    oracle errors loudly at the same magnitudes (HUGEINT), so both tiers
+    fail, not diverge. An L/w_s multiplier beyond bigint raises on the
+    driver before any job runs. Sources absent from `weights` are
+    dropped (weight 0).
 
     Scale shape: one map-side-combined token-count aggregate per source
     (output = #sources rows, tiny by construction — a mixture config
@@ -80,10 +109,13 @@ def mixture_sample(docs: DataFrame, weights: dict[str, int],
     from ..operators.textstats import token_count_col  # noqa: PLC0415
 
     lcm = reduce(math.lcm, weights.values())
+    mults = [(s, lcm // w) for s, w in sorted(weights.items())]
+    if any(m > (1 << 63) - 1 for _, m in mults):
+        raise ValueError(
+            "mixture weights are too coprime: lcm(weights)/w exceeds "
+            f"bigint (lcm={lcm}); use smaller or less-coprime weights")
     spark = docs.sparkSession
-    wdf = spark.createDataFrame(
-        [(s, lcm // w) for s, w in sorted(weights.items())],
-        f"{source_col} string, _mult long")
+    wdf = spark.createDataFrame(mults, f"{source_col} string, _mult long")
 
     t = docs.withColumn("_tok", token_count_col(F.col(text_col)))
     # k in DECIMAL(38,0) from the start: coprime-heavy weight sets make
@@ -96,8 +128,8 @@ def mixture_sample(docs: DataFrame, weights: dict[str, int],
         .groupBy(source_col, "_mult")
         .agg(F.sum("_tok").alias("_T"))
         .select(source_col,
-                (F.col("_T").cast("decimal(38,0)") * F.col("_mult"))
-                .alias("_k"))
+                _guard_k((F.col("_T").cast("decimal(38,0)")
+                          * F.col("_mult")), source_col).alias("_k"))
     )
     # min over POSITIVE k only: a weighted source with zero corpus tokens
     # has k = 0, and letting it set kmin would silently empty the entire

@@ -505,6 +505,13 @@ def test_sample_subcommand(spark, tmp_path, capsys):
                 "--weights", "src0=1", "src1=2", "src2=3",
                 "--splits", "train=8", "val=1", "--run-id", "s1")
     assert out2["rows_written"] is None
+    # replace semantics: a new run id with a DIFFERENT config must
+    # REPLACE the sample, not union two incompatible samples
+    out3 = _run(capsys, "sample", "--input", SF_DIR, "--output", cat_dir,
+                "--splits", "alpha=1", "beta=1", "--run-id", "s2")
+    rows3 = Catalog(cat_dir).read(spark, "docs_sampled").collect()
+    assert len(rows3) == out3["rows_written"]
+    assert {r.split for r in rows3} <= {"alpha", "beta"}
 
 
 def test_sample_subcommand_rejects_bad_weights(tmp_path, capsys):
@@ -532,3 +539,10 @@ def test_pack_subcommand(spark, tmp_path, capsys):
     last = max(rows, key=lambda r: r.seq_id * 256 + r.seq_offset
                + r.n_tokens)
     assert last.seq_id * 256 + last.seq_offset + last.n_tokens == total
+    # replace semantics: a re-pack at a different budget must replace the
+    # (seq_id, seq_offset) assignment — two assignments can't coexist
+    out2 = _run(capsys, "pack", "--input", SF_DIR, "--output", cat_dir,
+                "--budget", "128", "--run-id", "p2")
+    rows2 = Catalog(cat_dir).read(spark, "docs_packed").collect()
+    assert len(rows2) == out2["rows_written"] == len(rows)
+    assert all(r.seq_offset < 128 for r in rows2)

@@ -103,6 +103,28 @@ class TestMixtureSample:
         with pytest.raises(ValueError):
             sampling.mixture_sample(docs, {"s0": 1.5})
 
+    def test_rejects_overflowing_multiplier(self, docs):
+        # lcm/w beyond bigint must fail on the driver, not produce a
+        # createDataFrame long-overflow deep in Spark
+        with pytest.raises(ValueError, match="too coprime"):
+            sampling.mixture_sample(docs, {"s0": 1, "s1": 2**63})
+
+    def test_k_overflow_raises_not_drops(self, spark):
+        # beyond the decimal(38,0) envelope the accept test must ERROR
+        # (matching the oracle's HUGEINT overflow), never NULL-drop rows
+        df = spark.createDataFrame([("s",)], "source string")
+        over = F.lit(str(sampling._K_MAX + 1)).cast("decimal(38,0)")
+        with pytest.raises(Exception, match="accept-test headroom"):
+            df.select(sampling._guard_k(over, "source")).collect()
+        # a NULL k (an already-overflowed upstream multiply) raises too
+        nul = F.lit(None).cast("decimal(38,0)")
+        with pytest.raises(Exception, match="accept-test headroom"):
+            df.select(sampling._guard_k(nul, "source")).collect()
+        # and the boundary value passes through untouched
+        ok = F.lit(str(sampling._K_MAX)).cast("decimal(38,0)")
+        got = df.select(sampling._guard_k(ok, "source").alias("k")).first()
+        assert int(got.k) == sampling._K_MAX
+
 
 class TestAssignSplits:
     def test_matches_python_reference_and_partition_invariance(self, docs):
