@@ -269,6 +269,18 @@ def q_repetition_stats(spark, sf_dir):
                                       text_col="body_text")
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Windowed exact-substring duplication stats (dedup.
+    substring_dup_stats, the Lee et al. ExactSubstr signal re-expressed as
+    sliding char-window digest collisions): per-doc window counts, dup
+    fraction, and the exact-integer dup_heavy flag. The oracle replays the
+    1-based stride positions, the md5 window digests, and the integer
+    threshold compare."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.substring_dup_stats(d, window=64, stride=16,
+                                     heavy_frac=0.2)
+
+
 def q_host_quota_sample(spark, sf_dir):
     """Per-host quota downsampling (dedup.host_quota_sample): each source's
     docs are kept with probability quota/count via an exact-integer
@@ -1146,6 +1158,34 @@ ORACLES: dict[str, str] = {
                round(coalesce(top_n * top_len, 0)
                      / greatest(b.n_chars, 1), 4) AS top_bigram_char_frac
         FROM base b LEFT JOIN top ON b.doc_id = top.doc_id""",
+    # same 1-based char positions / md5 window digests / exact-integer
+    # heavy threshold as dedup.substring_dup_stats(window=64, stride=16,
+    # heavy_frac=0.2); 10^4-scaled threshold = 2000
+    "q_substring_dedup": """
+        WITH w AS (
+          SELECT doc_id, text AS t FROM documents WHERE length(text) >= 64
+        ), win AS (
+          SELECT doc_id, md5(substring(t, pos, 64)) AS d
+          FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, length(t) - 63, 16))
+                         AS pos
+                FROM w) s
+        ), cnt AS (
+          SELECT d, count(*) AS n FROM win GROUP BY d
+        ), pd AS (
+          SELECT doc_id, count(*)::BIGINT AS nw,
+                 sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS nd
+          FROM win JOIN cnt USING (d) GROUP BY doc_id
+        )
+        SELECT dd.doc_id,
+               coalesce(nw, 0)::BIGINT AS n_windows,
+               coalesce(nd, 0)::BIGINT AS n_dup_windows,
+               round(coalesce(nd, 0) / greatest(coalesce(nw, 0), 1), 4)
+                 AS dup_window_frac,
+               (coalesce(nw, 0) > 0
+                AND coalesce(nd, 0) * 10000 >= 2000 * coalesce(nw, 0))
+                 AS dup_heavy
+        FROM documents dd LEFT JOIN pd USING (doc_id)""",
     "q_paragraph_dedup": f"""
         WITH body AS ({_EXTRACT_ORACLES["extract_body"]}),
         paras AS (
@@ -1672,6 +1712,7 @@ QUERIES = {
     "q_contamination": q_contamination,
     "q_curate_survivors": q_curate_survivors,
     "q_paragraph_dedup": q_paragraph_dedup,
+    "q_substring_dedup": q_substring_dedup,
     "q_repetition_stats": q_repetition_stats,
     "q_host_quota_sample": q_host_quota_sample,
     "q_mixture_sample": q_mixture_sample,

@@ -324,6 +324,80 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame,
     )
 
 
+def substring_dup_stats(docs: DataFrame, key: str = "doc_id",
+                        text_col: str = "text",
+                        window: int = 64, stride: int = 16,
+                        heavy_frac: float = 0.5) -> DataFrame:
+    """Exact-substring duplication signals (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    move, re-expressed for a shuffle-based engine): suffix arrays don't
+    distribute, but sliding fixed-width character windows at a stride do —
+    a substring duplicated across (or within) documents makes every window
+    inside it collide, so "how much of this doc is verbatim-duplicated
+    text" becomes "what fraction of its windows have a non-unique digest".
+    Per doc: `n_windows`, `n_dup_windows` (window text occurs >= 2 times
+    corpus-wide, including self-repetition), `dup_window_frac`, and a
+    `dup_heavy` drop flag.
+
+    Determinism: windows are char-offset slices (positions 1, 1+stride,
+    ... <= len-window+1, 1-based — both engines' substring is 1-based and
+    character-counted), digests are md5, and the `dup_heavy` threshold is
+    EXACT integer math (n_dup * 10^4 >= round(heavy_frac * 10^4) *
+    n_windows) — no float compare to drift cross-engine; the DuckDB
+    oracle replays all of it (contract.py q_substring_dedup).
+
+    Scale shape: one explode streams ~len/stride windows per doc (never
+    a per-doc suffix structure), one md5-keyed groupBy counts occurrences
+    (uniform digest keys, map-side partial combine), and the count table
+    joins back on the SAME digest key — the groupBy's hash partitioning
+    is reused, so the join adds no second full shuffle of the stream.
+    The window stream is recomputed for the join side rather than cached
+    (narrow, deterministic projection — same discipline as
+    bigram_logprob_score). Hot digests (boilerplate repeated millions of
+    times) inflate no bucket: the aggregate carries ONE row per digest
+    regardless of its count."""
+    if stride < 1 or window < 1:
+        raise ValueError("substring_dup_stats: window/stride must be >= 1")
+    did = F.col(_bq(key))
+    t = F.col(_bq(text_col))
+
+    def _wins(df_: DataFrame) -> DataFrame:
+        return (
+            df_.filter(F.length(t) >= window)
+            .select(did.alias("k"), t.alias("_t"),
+                    F.explode(F.sequence(
+                        F.lit(1), F.length(t) - window + 1,
+                        F.lit(stride))).alias("pos"))
+            .select("k", F.md5(F.expr(
+                f"substring(_t, pos, {int(window)})")).alias("d"))
+        )
+
+    cnts = _wins(docs).groupBy("d").agg(F.count("*").alias("_n"))
+    per_doc = (
+        _wins(docs).join(cnts, "d")
+        .groupBy("k")
+        .agg(F.count("*").alias("n_windows"),
+             F.sum(F.when(F.col("_n") >= 2, 1).otherwise(0))
+              .alias("n_dup"))
+    )
+    thr = int(round(heavy_frac * 10_000))
+    nw = F.coalesce(F.col("n_windows"), F.lit(0)).cast("long")
+    nd = F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+    return (
+        docs.select(did.alias("k"))
+        .join(per_doc, "k", "left")
+        .select(
+            F.col("k").alias(key),
+            nw.alias("n_windows"),
+            nd.alias("n_dup_windows"),
+            F.round(nd / F.greatest(nw, F.lit(1)), 4)
+             .alias("dup_window_frac"),
+            ((nw > 0) & (nd * 10_000 >= F.lit(thr) * nw))
+            .alias("dup_heavy"),
+        )
+    )
+
+
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, key: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Token-set Jaccard for candidate pairs (ref string-similarity fallback,

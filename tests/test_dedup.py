@@ -302,3 +302,44 @@ def test_host_quota_sample_matches_python_reference(spark):
     got = {r.doc_id for r in
            dedup.host_quota_sample(docs, quota=quota).collect()}
     assert got == expect
+
+
+def test_substring_dup_stats_windows_and_flags(spark):
+    """ExactSubstr window stats: a doc sharing a long verbatim run with
+    another doc gets dup windows; a doc shorter than the window gets
+    (0, 0, 0.0, False); unique text stays clean; self-repetition inside
+    one doc also counts (corpus-wide occurrence >= 2)."""
+    shared = "S" * 100  # 100-char run shared verbatim by docs 1 and 2
+    uniq1 = "".join(chr(ord("a") + (i % 26)) for i in range(80))
+    docs = _docs(spark, [
+        (1, shared + uniq1),
+        (2, shared),
+        (3, "short doc"),                       # < window chars
+        (4, "z" + uniq1[:70] + "qqq"),          # unique-ish text
+        (5, "R" * 40 * 4),                      # self-repeated char run
+    ])
+    out = {r.doc_id: r for r in
+           dedup.substring_dup_stats(docs, window=64, stride=16).collect()}
+    assert len(out) == 5
+    # doc 3: below window size -> zero windows, not heavy
+    assert out[3].n_windows == 0 and out[3].n_dup_windows == 0
+    assert out[3].dup_window_frac == 0.0 and out[3].dup_heavy is False
+    # doc 2 is entirely inside doc 1's prefix: every window duplicated
+    assert out[2].n_windows == 3  # positions 1, 17, 33 (len 100, win 64)
+    assert out[2].n_dup_windows == 3 and out[2].dup_heavy is True
+    # doc 1: its all-'S' windows collide with doc 2's; mixed tail doesn't
+    assert out[1].n_dup_windows >= 3
+    assert 0 < out[1].n_dup_windows < out[1].n_windows
+    # doc 4: no 64-char run occurs twice anywhere
+    assert out[4].n_dup_windows == 0 and out[4].dup_heavy is False
+    # doc 5: "RRR..." windows at every stride are identical to each other
+    assert out[5].n_dup_windows == out[5].n_windows > 0
+    assert out[5].dup_heavy is True
+
+
+def test_substring_dup_stats_validates_params(spark):
+    d = _docs(spark, [(1, "x" * 100)])
+    with pytest.raises(ValueError):
+        dedup.substring_dup_stats(d, window=0)
+    with pytest.raises(ValueError):
+        dedup.substring_dup_stats(d, stride=0)
