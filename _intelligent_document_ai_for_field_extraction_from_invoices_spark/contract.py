@@ -327,6 +327,18 @@ def q_bigram_lm_score(spark, sf_dir):
     return textstats.bigram_logprob_score(d, top_k=64)
 
 
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-style hashed n-gram importance score (sampling.
+    hashed_ngram_importance): raw docs scored by target-likeness under
+    hashed unigram+bigram bucket distributions (target = the doc_id % 37
+    == 1 exemplar subset; 512 buckets so collisions are exercised at test
+    scale). The oracle replays the salted-md5 bucketing, the add-one
+    smoothing, and the micro-nat rounding."""
+    d = _t(spark, sf_dir, "documents")
+    tgt = d.filter(F.col("doc_id") % _BENCH_MOD == 1)
+    return sampling.hashed_ngram_importance(d, tgt, num_buckets=512)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Deterministic sequence packing (packing.pack_sequences): context-
     window assignment under concatenate-then-chop at 512 tokens/window,
@@ -1105,6 +1117,49 @@ ORACLES: dict[str, str] = {
         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
     # ONE flat sequential window — the two-level distributed prefix sum in
     # packing.pack_sequences must reproduce it exactly (integer math)
+    # same salted-md5 bucketing / add-one smoothing / micro-nat rounding
+    # as sampling.hashed_ngram_importance(num_buckets=512, salt=':dsir');
+    # target = the doc_id % 37 == 1 exemplar subset
+    "q_dsir_importance": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, unnest(ws) AS g FROM w
+          UNION ALL
+          SELECT doc_id, array_to_string(ws[(i+1):(i+2)], ' ') AS g
+          FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+                FROM w WHERE len(ws) >= 2) s
+        ), gb AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(g || ':dsir'), 1, 8))::BIGINT
+                   % 512 AS b
+          FROM grams
+        ), cr AS (
+          SELECT b, count(*)::BIGINT AS nr FROM gb GROUP BY b
+        ), ct AS (
+          SELECT b, count(*)::BIGINT AS nt FROM gb
+          WHERE doc_id % 37 = 1 GROUP BY b
+        ), tr AS (SELECT sum(nr)::BIGINT AS tnr FROM cr),
+        tt AS (SELECT coalesce(sum(nt), 0)::BIGINT AS tnt FROM ct),
+        lr AS (
+          SELECT cr.b,
+                 (round(ln((coalesce(nt, 0) + 1) / (tnt + 512))
+                        * 1000000)::BIGINT
+                  - round(ln((nr + 1) / (tnr + 512))
+                          * 1000000)::BIGINT) AS lrm
+          FROM cr LEFT JOIN ct USING (b), tr, tt
+        ), sc AS (
+          SELECT gb.doc_id, count(*)::BIGINT AS n_grams,
+                 sum(lrm)::BIGINT AS s
+          FROM gb JOIN lr USING (b) GROUP BY gb.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_grams, 0)::BIGINT AS n_grams,
+               round(s / (n_grams * 1000000.0), 4) AS avg_log_ratio
+        FROM documents d LEFT JOIN sc USING (doc_id)""",
     "q_pack_sequences": f"""
         WITH tk AS (
           SELECT doc_id,
@@ -1718,6 +1773,7 @@ QUERIES = {
     "q_mixture_sample": q_mixture_sample,
     "q_split_assign": q_split_assign,
     "q_bigram_lm_score": q_bigram_lm_score,
+    "q_dsir_importance": q_dsir_importance,
     "q_pack_sequences": q_pack_sequences,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,

@@ -175,3 +175,103 @@ def assign_splits(docs: DataFrame, splits: dict[str, int] | None = None,
     # u32 < 2^32 guarantees the last branch always catches; otherwise() is
     # unreachable but keeps the column non-nullable-safe
     return docs.withColumn("split", expr.otherwise(sorted(splits)[-1]))
+
+
+def hashed_ngram_importance(docs: DataFrame, target: DataFrame,
+                            key: str = "doc_id", text_col: str = "text",
+                            num_buckets: int = 8192,
+                            salt: str = ":dsir") -> DataFrame:
+    """DSIR-style importance score (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-corpus
+    document by how target-like its hashed n-gram profile is. Word
+    unigrams + bigrams hash into `num_buckets` buckets; bucket
+    distributions are estimated (add-one smoothed) for the TARGET corpus
+    (the small, high-quality exemplar set) and for the RAW corpus (the
+    docs being scored, self-normalizing as in the paper); a doc's score is
+    the mean per-gram log p_target(b) - log p_raw(b). Positive = looks
+    like the target; strongly negative = off-distribution. Downstream,
+    compose with the package's exact-integer accept tests to actually
+    resample (e.g. keep where avg_log_ratio >= threshold, or feed the
+    score into a quota).
+
+    Cross-engine determinism: buckets come from the same salted-md5 u32
+    stream as every sampler here (`_u32 % num_buckets` — non-negative, so
+    `%` agrees across engines); every log is computed on the BOUNDED
+    bucket table (never the gram stream), immediately rounded to integer
+    MICRO-NATS (round(ln(p)*1e6) as BIGINT, the bigram_logprob_score
+    discipline), and per-doc aggregation sums those integers — exact and
+    order-independent, so the DuckDB oracle hash-matches despite float
+    transcendentals. Empty docs report n_grams=0 and NULL score (same
+    convention as bigram_logprob_score's avg_nll).
+
+    Scale shape: two gram-stream passes (count pass + scoring pass; the
+    stream is a narrow, cheap-to-recompute projection — caching it would
+    cost corpus-scale memory). Both count aggregates have a key domain
+    BOUNDED by num_buckets (map-side partial combine collapses each task
+    to <= num_buckets rows, so the shuffle is tiny regardless of corpus
+    size); the log-ratio table (<= num_buckets rows) and the two 1-row
+    totals broadcast; scoring is a map-side broadcast-hash-join lookup
+    followed by one per-doc integer-sum aggregate (uniform doc keys).
+    The target corpus streams once; it never needs to fit in memory —
+    only its bucket HISTOGRAM does, which is num_buckets-bounded."""
+    if num_buckets < 1 or num_buckets > (1 << 26):
+        raise ValueError("hashed_ngram_importance: num_buckets must be in "
+                         f"[1, 2^26], got {num_buckets}")
+    from .textstats import WS_RUN  # noqa: PLC0415
+
+    t = F.col(text_col)
+
+    def _buckets(df_: DataFrame) -> DataFrame:
+        # unigrams + bigrams, inline HOF over the words array (the
+        # bigram_logprob_score shape; docs are bounded-length, so the
+        # per-element re-evaluation Catalyst does here stays cheap)
+        words = F.filter(F.split(F.trim(t), WS_RUN), lambda w: w != "")
+        bi = F.when(
+            F.size(words) >= 2,
+            F.transform(F.sequence(F.lit(0), F.size(words) - 2),
+                        lambda i: F.array_join(F.slice(words, i + 1, 2),
+                                               " ")),
+        ).otherwise(F.array().cast("array<string>"))
+        return df_.select(
+            F.col(key).alias("k"),
+            F.explode(F.concat(words, bi)).alias("g"),
+        ).select("k", (_u32(F.col("g"), salt)
+                       % F.lit(num_buckets)).alias("b"))
+
+    raw_b = _buckets(docs)
+    cr = raw_b.groupBy("b").agg(F.count("*").alias("_nr"))
+    ct = _buckets(target).groupBy("b").agg(F.count("*").alias("_nt"))
+    # totals get distinct names (_tnr/_tnt): Spark resolves identifiers
+    # case-insensitively, so e.g. _NR would collide with _nr post-join
+    tot_r = cr.agg(F.sum("_nr").alias("_tnr"))
+    tot_t = ct.agg(F.coalesce(F.sum("_nt"), F.lit(0)).alias("_tnt"))
+    bkt = F.lit(num_buckets)
+    lr = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tot_r)).crossJoin(F.broadcast(tot_t))
+        .select(
+            "b",
+            (F.round(F.log((F.coalesce("_nt", F.lit(0)) + 1)
+                           / (F.col("_tnt") + bkt)) * 1e6).cast("long")
+             - F.round(F.log((F.col("_nr") + 1)
+                             / (F.col("_tnr") + bkt)) * 1e6).cast("long")
+             ).alias("_lr_micro"),
+        )
+    )
+    # every bucket in raw_b exists in lr (lr is keyed by cr's buckets),
+    # so this inner broadcast join drops nothing
+    scored = (
+        raw_b.join(F.broadcast(lr), "b")
+        .groupBy("k")
+        .agg(F.count("*").alias("n_grams"),
+             F.sum("_lr_micro").alias("_s"))
+    )
+    return (
+        docs.select(F.col(key).alias("k")).join(scored, "k", "left")
+        .select(
+            F.col("k").alias(key),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.round(F.col("_s") / (F.col("n_grams") * 1e6), 4)
+            .alias("avg_log_ratio"),
+        )
+    )

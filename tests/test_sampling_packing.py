@@ -256,3 +256,68 @@ class TestPackSequences:
             packing.pack_sequences(df, budget=0)
         with pytest.raises(ValueError):
             packing.pack_sequences(df, bucket_size=0)
+
+
+class TestHashedNgramImportance:
+    def test_target_like_docs_score_higher(self, spark):
+        """DSIR semantics: docs sharing the target's n-gram profile get a
+        higher avg log-ratio than off-distribution docs; empty docs get
+        n_grams=0 and a NULL score."""
+        tgt = spark.createDataFrame(
+            [(100 + i, "clean prose about model training data quality")
+             for i in range(4)],
+            "doc_id long, text string")
+        docs = spark.createDataFrame([
+            (1, "clean prose about model training data quality"),
+            (2, "zzqx vbnp qqwr kklm zzqx vbnp qqwr kklm"),
+            (3, ""),
+        ], "doc_id long, text string")
+        out = {r.doc_id: r for r in sampling.hashed_ngram_importance(
+            docs, tgt, num_buckets=4096).collect()}
+        assert out[1].avg_log_ratio > out[2].avg_log_ratio
+        assert out[1].avg_log_ratio > 0  # target-identical: looks on-dist
+        assert out[3].n_grams == 0 and out[3].avg_log_ratio is None
+        assert out[1].n_grams == 7 + 6  # unigrams + bigrams
+
+    def test_matches_python_reference(self, spark):
+        """Exact value check against a pure-Python replay of the bucketing,
+        smoothing, and micro-nat arithmetic, at a bucket count small
+        enough to force collisions."""
+        texts = {i: f"w{i % 5} w{(i * 7) % 11} common token stream {i % 3}"
+                 for i in range(30)}
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string")
+        tgt_ids = [i for i in texts if i % 5 == 0]
+        tgt = docs.filter(F.col("doc_id") % 5 == 0)
+        B = 64
+
+        def grams(t):
+            ws = [w for w in t.strip().split() if w]
+            return ws + [" ".join(ws[i:i + 2])
+                         for i in range(len(ws) - 1)]
+
+        def bucket(g):
+            return _u32(g, ":dsir") % B
+
+        raw = [bucket(g) for t in texts.values() for g in grams(t)]
+        tg = [bucket(g) for i in tgt_ids for g in grams(texts[i])]
+        cr = {b: raw.count(b) for b in set(raw)}
+        ct = {b: tg.count(b) for b in set(tg)}
+        NR, NT = len(raw), len(tg)
+        lr = {b: (round(math.log((ct.get(b, 0) + 1) / (NT + B)) * 1e6)
+                  - round(math.log((cr[b] + 1) / (NR + B)) * 1e6))
+              for b in cr}
+        expect = {}
+        for i, t in texts.items():
+            bs = [bucket(g) for g in grams(t)]
+            s = sum(lr[b] for b in bs)
+            expect[i] = (len(bs), round(s / (len(bs) * 1e6), 4))
+        got = {r.doc_id: (r.n_grams, r.avg_log_ratio)
+               for r in sampling.hashed_ngram_importance(
+                   docs, tgt, num_buckets=B).collect()}
+        assert got == expect
+
+    def test_rejects_bad_bucket_count(self, spark):
+        d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            sampling.hashed_ngram_importance(d, d, num_buckets=0)
