@@ -803,3 +803,51 @@ def test_commit_crash_injection_invariants(spark, tmp_path):
     assert v == cat._read_current("t")["version"]
     assert {r.id for r in cat.read(spark, "t").collect()} == \
         model_rows | {500, 501}
+
+
+# -- incremental (CDC-style) reads ------------------------------------------
+
+
+def test_read_incremental_appends_tagged_by_commit(spark, tmp_path):
+    """(since, until] append deltas come back exactly once, tagged with
+    the committing version + txn; since=0 streams the full history;
+    since==until (and polling an absent table) is an empty feed."""
+    cat = Catalog(str(tmp_path))
+    assert cat.read_incremental(spark, "t", 0).count() == 0  # pre-creation
+    v1 = cat.overwrite("t", spark.range(3).withColumn("v", F.col("id")))
+    v2 = cat.append("t", spark.range(3, 7).withColumn("v", F.col("id")),
+                    txn="run-a")
+    v3 = cat.append("t", spark.range(7, 9).withColumn("v", F.col("id")),
+                    txn="run-b")
+    delta = cat.read_incremental(spark, "t", v1).orderBy("id").collect()
+    assert [r.id for r in delta] == [3, 4, 5, 6, 7, 8]
+    assert {r._commit_version for r in delta} == {v2, v3}
+    assert {r._commit_txn for r in delta if r.id < 7} == {"run-a"}
+    assert {r._commit_txn for r in delta if r.id >= 7} == {"run-b"}
+    # full history: the creating overwrite is a pure insert
+    assert cat.read_incremental(spark, "t", 0).count() == 9
+    # bounded until + empty range
+    assert cat.read_incremental(spark, "t", v1, v2).count() == 4
+    assert cat.read_incremental(spark, "t", v3, v3).count() == 0
+    with pytest.raises(ValueError):
+        cat.read_incremental(spark, "t", v3 + 1)
+
+
+def test_read_incremental_skips_compact_rejects_removals(spark, tmp_path):
+    """Compaction rewrites files without changing rows -> contributes
+    nothing to the feed; overwrite/rollback in range raise (an added-rows
+    feed cannot express removals)."""
+    cat = Catalog(str(tmp_path))
+    v1 = cat.overwrite("t", spark.range(4))
+    cat.append("t", spark.range(4, 6), txn="keep")
+    stats = cat.compact(spark, "t")
+    vc = stats["version"]
+    delta = cat.read_incremental(spark, "t", v1, vc).orderBy("id").collect()
+    assert [r.id for r in delta] == [4, 5]  # compact contributed nothing
+    # appends after the compact still flow
+    v4 = cat.append("t", spark.range(6, 8))
+    assert cat.read_incremental(spark, "t", vc, v4).count() == 2
+    # overwrite mid-history is a removal -> refuse
+    v5 = cat.overwrite("t", spark.range(2))
+    with pytest.raises(ValueError, match="overwrite"):
+        cat.read_incremental(spark, "t", v4, v5)
