@@ -416,6 +416,36 @@ def cmd_decontaminate(spark, args) -> dict:
                  args.run_id)
 
 
+def cmd_substrdup(spark, args) -> dict:
+    """Windowed exact-substring duplication stats (Lee et al. ExactSubstr
+    re-expressed as sliding char-window digest collisions): per-doc window
+    counts, duplicated-window fraction, and the exact-integer dup_heavy
+    drop flag -> `substring_dup_stats`."""
+    docs = _docs(spark, args)
+    stats = dedup_ops.substring_dup_stats(
+        docs, window=args.window, stride=args.stride,
+        heavy_frac=args.heavy_frac)
+    return _emit(Catalog(args.output), "substring_dup_stats", stats,
+                 args.run_id)
+
+
+def cmd_dsir(spark, args) -> dict:
+    """DSIR-style hashed n-gram importance scores (--target parquet of
+    exemplar docs, or the synthetic doc_id %% MOD == 1 subset): per-doc
+    target-likeness log-ratio -> `dsir_scores`. Overwrite semantics: the
+    score depends on BOTH corpora's histograms, so two runs' scores must
+    never coexist in one table."""
+    docs = _docs(spark, args)
+    if args.target:
+        target = spark.read.parquet(args.target)
+    else:
+        target = docs.filter(F.col("doc_id") % args.target_mod == 1)
+    scores = sampling_ops.hashed_ngram_importance(
+        docs, target, num_buckets=args.buckets)
+    return _emit(Catalog(args.output), "dsir_scores", scores, args.run_id,
+                 mode="overwrite")
+
+
 def cmd_curate(spark, args) -> dict:
     """The composed pretraining curation pipeline (operators/curate.py):
     host quota -> exact dedup -> near-dup keep-one -> decontaminate ->
@@ -685,6 +715,30 @@ def main(argv=None) -> None:
     _add_common(p)
     p.add_argument("--max-hamming", type=int, default=8)
 
+    p = sub.add_parser("substrdup",
+                       help="windowed exact-substring duplication stats "
+                            "(ExactSubstr-style) -> substring_dup_stats")
+    _add_common(p)
+    p.add_argument("--window", type=int, default=64,
+                   help="window width in characters")
+    p.add_argument("--stride", type=int, default=16,
+                   help="window stride in characters")
+    p.add_argument("--heavy-frac", type=float, default=0.5,
+                   help="dup_heavy threshold on the duplicated-window "
+                        "fraction")
+
+    p = sub.add_parser("dsir",
+                       help="DSIR hashed n-gram importance scores vs a "
+                            "target corpus -> dsir_scores")
+    _add_common(p)
+    p.add_argument("--target", default=None,
+                   help="parquet of target/exemplar docs (doc_id, text); "
+                        "default is the synthetic doc_id %% MOD == 1 "
+                        "subset")
+    p.add_argument("--target-mod", type=int, default=37)
+    p.add_argument("--buckets", type=int, default=8192,
+                   help="hashed n-gram bucket count")
+
     p = sub.add_parser("curate",
                        help="composed curation pipeline: host quota -> "
                             "exact dedup -> near-dup keep-one -> "
@@ -759,6 +813,8 @@ def main(argv=None) -> None:
         "decontaminate": cmd_decontaminate,
         "paradedup": cmd_paradedup,
         "simhash": cmd_simhash,
+        "substrdup": cmd_substrdup,
+        "dsir": cmd_dsir,
         "sample": cmd_sample,
         "pack": cmd_pack,
         "ann": cmd_ann,

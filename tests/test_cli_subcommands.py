@@ -24,6 +24,7 @@ def _run(capsys, *argv) -> dict:
     ("cc", "neardup_components"),
     ("minhash", "minhash_pairs"),
     ("simhash", "simhash_pairs"),
+    ("substrdup", "substring_dup_stats"),
 ])
 def test_dedup_family_subcommands(spark, tmp_path, capsys, cmd, table):
     cat_dir = str(tmp_path / "cat")
@@ -546,3 +547,22 @@ def test_pack_subcommand(spark, tmp_path, capsys):
     rows2 = Catalog(cat_dir).read(spark, "docs_packed").collect()
     assert len(rows2) == out2["rows_written"] == len(rows)
     assert all(r.seq_offset < 128 for r in rows2)
+
+
+def test_dsir_subcommand_overwrite_replay(spark, tmp_path, capsys):
+    """dsir writes overwrite-semantics scores (a score depends on both
+    corpora's histograms); a replayed run id is a no-op, a NEW run id
+    REPLACES the table instead of appending a second copy."""
+    cat_dir = str(tmp_path / "cat")
+    out = _run(capsys, "dsir", "--input", SF_DIR, "--output", cat_dir,
+               "--buckets", "512", "--run-id", "t1")
+    assert out["table"] == "dsir_scores" and out["rows_written"] == 500
+    cat = Catalog(cat_dir)
+    assert cat.read(spark, "dsir_scores").count() == 500
+    out2 = _run(capsys, "dsir", "--input", SF_DIR, "--output", cat_dir,
+                "--buckets", "512", "--run-id", "t1")
+    assert out2["rows_written"] is None  # replay no-op
+    out3 = _run(capsys, "dsir", "--input", SF_DIR, "--output", cat_dir,
+                "--buckets", "256", "--run-id", "t2")
+    assert out3["rows_written"] == 500
+    assert cat.read(spark, "dsir_scores").count() == 500  # replaced
