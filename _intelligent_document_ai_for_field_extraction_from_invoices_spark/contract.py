@@ -1225,22 +1225,26 @@ ORACLES: dict[str, str] = {
                        unnest(generate_series(1, length(t) - 63, 16))
                          AS pos
                 FROM w) s
-        ), cnt AS (
-          SELECT d, count(*) AS n FROM win GROUP BY d
+        ), dup AS (
+          SELECT d FROM win GROUP BY d HAVING count(*) >= 2
         ), pd AS (
-          SELECT doc_id, count(*)::BIGINT AS nw,
-                 sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS nd
-          FROM win JOIN cnt USING (d) GROUP BY doc_id
+          SELECT doc_id, count(*)::BIGINT AS nd
+          FROM win JOIN dup USING (d) GROUP BY doc_id
+        ), base AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) >= 64
+                      THEN (floor((length(text) - 64) / 16) + 1)::BIGINT
+                      ELSE 0 END AS nw
+          FROM documents
         )
-        SELECT dd.doc_id,
-               coalesce(nw, 0)::BIGINT AS n_windows,
+        SELECT base.doc_id,
+               nw AS n_windows,
                coalesce(nd, 0)::BIGINT AS n_dup_windows,
-               round(coalesce(nd, 0) / greatest(coalesce(nw, 0), 1), 4)
+               round(coalesce(nd, 0) / greatest(nw, 1), 4)
                  AS dup_window_frac,
-               (coalesce(nw, 0) > 0
-                AND coalesce(nd, 0) * 10000 >= 2000 * coalesce(nw, 0))
+               (nw > 0 AND coalesce(nd, 0) * 10000 >= 2000 * nw)
                  AS dup_heavy
-        FROM documents dd LEFT JOIN pd USING (doc_id)""",
+        FROM base LEFT JOIN pd USING (doc_id)""",
     "q_paragraph_dedup": f"""
         WITH body AS ({_EXTRACT_ORACLES["extract_body"]}),
         paras AS (

@@ -346,16 +346,21 @@ def substring_dup_stats(docs: DataFrame, key: str = "doc_id",
     n_windows) — no float compare to drift cross-engine; the DuckDB
     oracle replays all of it (contract.py q_substring_dedup).
 
-    Scale shape: one explode streams ~len/stride windows per doc (never
-    a per-doc suffix structure), one md5-keyed groupBy counts occurrences
-    (uniform digest keys, map-side partial combine), and the count table
-    joins back on the SAME digest key — the groupBy's hash partitioning
-    is reused, so the join adds no second full shuffle of the stream.
-    The window stream is recomputed for the join side rather than cached
-    (narrow, deterministic projection — same discipline as
-    bigram_logprob_score). Hot digests (boilerplate repeated millions of
-    times) inflate no bucket: the aggregate carries ONE row per digest
-    regardless of its count."""
+    Scale shape: `n_windows` is a pure LENGTH PROJECTION
+    (floor((len-w)/stride)+1 — no shuffle at all), so only the dup side
+    touches the window stream: one explode streams ~len/stride windows
+    per doc (never a per-doc suffix structure), one md5-keyed groupBy
+    counts occurrences (uniform digest keys, map-side partial combine),
+    and — the load-bearing reduction — the join-back side is filtered to
+    DUPLICATED digests only before the semi join, so in a mostly-unique
+    corpus the join's build side is orders of magnitude smaller than a
+    count-all-digests table (and AQE can keep broadcasting it far past
+    the scale where the full table stopped fitting). The window stream is
+    recomputed for the probe side rather than cached (narrow,
+    deterministic projection — same discipline as bigram_logprob_score).
+    Hot digests (boilerplate repeated millions of times) inflate no
+    bucket: the dup set carries ONE row per digest regardless of its
+    count."""
     if stride < 1 or window < 1:
         raise ValueError("substring_dup_stats: window/stride must be >= 1")
     did = F.col(_bq(key))
@@ -372,19 +377,21 @@ def substring_dup_stats(docs: DataFrame, key: str = "doc_id",
                 f"substring(_t, pos, {int(window)})")).alias("d"))
         )
 
-    cnts = _wins(docs).groupBy("d").agg(F.count("*").alias("_n"))
+    dups = (_wins(docs).groupBy("d").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") >= 2).select("d"))
     per_doc = (
-        _wins(docs).join(cnts, "d")
-        .groupBy("k")
-        .agg(F.count("*").alias("n_windows"),
-             F.sum(F.when(F.col("_n") >= 2, 1).otherwise(0))
-              .alias("n_dup"))
+        _wins(docs).join(dups, "d", "leftsemi")
+        .groupBy("k").agg(F.count("*").alias("n_dup"))
     )
     thr = int(round(heavy_frac * 10_000))
-    nw = F.coalesce(F.col("n_windows"), F.lit(0)).cast("long")
+    nw_proj = F.when(
+        F.length(t) >= window,
+        (F.floor((F.length(t) - window) / stride) + 1).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    nw = F.col("n_windows")
     nd = F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
     return (
-        docs.select(did.alias("k"))
+        docs.select(did.alias("k"), nw_proj.alias("n_windows"))
         .join(per_doc, "k", "left")
         .select(
             F.col("k").alias(key),
