@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "q_split_assign",
     "q_bigram_lm_score",
     "q_pack_sequences",
+    "q_substring_dedup",
+    "q_dsir_importance",
 ]
 
 
