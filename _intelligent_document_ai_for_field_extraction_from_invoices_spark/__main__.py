@@ -302,10 +302,29 @@ def cmd_compact(spark, args) -> dict:
 def cmd_dedup(spark, args) -> dict:
     """Full dedup map: every content-digest group with its canonical doc and
     copy count (n_copies == 1 rows included — the map is what downstream
-    keep-one filtering joins against)."""
-    groups = dedup_ops.exact_dedup_groups(_docs(spark, args))
+    keep-one filtering joins against). With --against PARQUET (a digest
+    table from prior snapshots, e.g. an exact_dedup_groups export), runs
+    INCREMENTAL dedup instead: per-doc novel/seen flags -> novel_docs."""
+    docs = _docs(spark, args)
+    if args.against:
+        seen = spark.read.parquet(args.against)
+        flags = dedup_ops.dedup_against(docs, seen,
+                                        seen_digest_col=args.digest_col)
+        return _emit(Catalog(args.output), "novel_docs", flags,
+                     args.run_id)
+    groups = dedup_ops.exact_dedup_groups(docs)
     return _emit(Catalog(args.output), "exact_dedup_groups", groups,
                  args.run_id)
+
+
+def cmd_blocklist(spark, args) -> dict:
+    """Domain blocklist flags over a committed extraction catalog's urls
+    (UT1/C4-style): host or any dot-suffix in --domains -> blocked, with
+    the matching entry as provenance -> `url_block_flags`."""
+    cat = Catalog(args.catalog)
+    res = cat.read(spark, lineage.RESULTS_TABLE).select("url")
+    flags = dedup_ops.url_blocklist_flags(res, args.domains, key="url")
+    return _emit(cat, "url_block_flags", flags, args.run_id)
 
 
 def cmd_jaccard(spark, args) -> dict:
@@ -654,6 +673,21 @@ def main(argv=None) -> None:
 
     p = sub.add_parser("dedup", help="exact dedup groups -> catalog")
     _add_common(p)
+    p.add_argument("--against", default=None,
+                   help="parquet of previously-seen digests: run "
+                        "incremental dedup (novel/seen flags) instead")
+    p.add_argument("--digest-col", default="digest",
+                   help="digest column name in the --against table")
+
+    p = sub.add_parser("blocklist",
+                       help="domain blocklist flags over a committed "
+                            "extraction catalog's urls -> url_block_flags")
+    p.add_argument("--catalog", required=True)
+    p.add_argument("--domains", nargs="+", required=True, metavar="DOMAIN",
+                   help="blocked domains (a host is blocked if it or any "
+                        "dot-suffix of it matches)")
+    p.add_argument("--run-id", default="cli-run")
+    p.add_argument("--cores", default=None)
 
     p = sub.add_parser("jaccard", help="n-gram Jaccard near-dup pairs")
     _add_common(p)
@@ -806,6 +840,7 @@ def main(argv=None) -> None:
         "report": cmd_report,
         "compact": cmd_compact,
         "dedup": cmd_dedup,
+        "blocklist": cmd_blocklist,
         "jaccard": cmd_jaccard,
         "cc": cmd_cc,
         "minhash": cmd_minhash,

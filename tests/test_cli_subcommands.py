@@ -566,3 +566,42 @@ def test_dsir_subcommand_overwrite_replay(spark, tmp_path, capsys):
                 "--buckets", "256", "--run-id", "t2")
     assert out3["rows_written"] == 500
     assert cat.read(spark, "dsir_scores").count() == 500  # replaced
+
+
+def test_dedup_against_subcommand(spark, tmp_path, capsys):
+    """dedup --against: incremental novel/seen flags vs an exported
+    digest parquet of 'previously ingested' docs."""
+    from pyspark.sql import functions as F
+
+    seen_pq = str(tmp_path / "seen")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_seen = (docs.filter(F.col("doc_id") % 3 == 0)
+              .select(F.md5("text").alias("digest"))
+              .distinct())
+    n_seen.write.parquet(seen_pq)
+    cat_dir = str(tmp_path / "cat")
+    out = _run(capsys, "dedup", "--input", SF_DIR, "--output", cat_dir,
+               "--against", seen_pq, "--run-id", "t1")
+    assert out["table"] == "novel_docs"
+    rows = Catalog(cat_dir).read(spark, "novel_docs").collect()
+    assert len(rows) == docs.count()
+    flagged = sum(0 if r.is_novel else 1 for r in rows)
+    assert flagged >= docs.filter(F.col("doc_id") % 3 == 0).count()
+
+
+def test_blocklist_subcommand(spark, tmp_path, capsys):
+    """blocklist over a committed extraction catalog's urls: the skewed
+    h0 host (~30%% of docs) is blocked, the rest pass."""
+    cat_dir = str(tmp_path / "cat")
+    _run(capsys, "extract", "--input", SF_DIR, "--output", cat_dir,
+         "--limit", "60")
+    out = _run(capsys, "blocklist", "--catalog", cat_dir,
+               "--domains", "h0.example.com", "example.net",
+               "--run-id", "b1")
+    assert out["table"] == "url_block_flags"
+    rows = Catalog(cat_dir).read(spark, "url_block_flags").collect()
+    assert len(rows) == out["rows_written"] > 0
+    blocked = [r for r in rows if r.blocked]
+    assert blocked and all(r.host == "h0.example.com" for r in blocked)
+    assert all(r.blocked_domain == "h0.example.com" for r in blocked)
+    assert any(not r.blocked for r in rows)

@@ -343,3 +343,48 @@ def test_substring_dup_stats_validates_params(spark):
         dedup.substring_dup_stats(d, window=0)
     with pytest.raises(ValueError):
         dedup.substring_dup_stats(d, stride=0)
+
+
+def test_dedup_against_flags_seen_digests(spark):
+    """Incremental dedup: docs whose TEXT matches any history digest are
+    not novel — including docs that differ in id but share text with a
+    seen doc; unmatched docs are novel."""
+    seen_src = _docs(spark, [(100, "alpha beta"), (101, "gamma delta")])
+    seen = seen_src.select(F.md5("text").alias("digest"))
+    docs = _docs(spark, [
+        (1, "alpha beta"),        # same text as history doc 100
+        (2, "brand new text"),
+        (3, "gamma delta"),       # same text as history doc 101
+        (4, "alpha beta "),       # trailing space: different digest
+    ])
+    out = {r.doc_id: r.is_novel
+           for r in dedup.dedup_against(docs, seen).collect()}
+    assert out == {1: False, 2: True, 3: False, 4: True}
+    # duplicated history digests must not fan out result rows
+    dup_seen = seen.union(seen)
+    assert dedup.dedup_against(docs, dup_seen).count() == 4
+
+
+def test_url_blocklist_suffix_semantics(spark):
+    """Blocklist: host OR any dot-suffix matches; deeper entries don't
+    block shallower hosts; provenance = alphabetically-first match."""
+    docs = spark.createDataFrame([
+        (1, "https://a.b.Example.COM/x"),     # suffix example.com
+        (2, "http://example.com:80/y"),       # exact (port stripped)
+        (3, "https://example.org/"),          # NOT blocked (deeper entry)
+        (4, "https://sub.blocked.example.org/z"),  # suffix match
+        (5, "https://clean.net/ok"),
+        (6, "https://news.example.com/a"),    # two entries match
+    ], "doc_id long, url string")
+    bl = ["example.com", "blocked.example.org", "news.example.com"]
+    out = {r.doc_id: r for r in
+           dedup.url_blocklist_flags(docs, bl).collect()}
+    assert out[1].blocked and out[1].blocked_domain == "example.com"
+    assert out[2].blocked and out[2].host == "example.com"
+    assert not out[3].blocked and out[3].blocked_domain is None
+    assert out[4].blocked and out[4].blocked_domain == "blocked.example.org"
+    assert not out[5].blocked
+    # both example.com and news.example.com match; min() is deterministic
+    assert out[6].blocked and out[6].blocked_domain == "example.com"
+    with pytest.raises(ValueError):
+        dedup.url_blocklist_flags(docs, [])
