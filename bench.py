@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "q_pack_sequences",
     "q_substring_dedup",
     "q_dsir_importance",
+    "q_incremental_dedup",
+    "q_url_blocklist",
 ]
 
 

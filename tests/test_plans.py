@@ -205,3 +205,52 @@ def test_paragraph_dedup_is_window_free(spark):
         plan = _plan(dedup.paragraph_dedup(df, key=key))
         assert "Window" not in plan
         assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_substring_dup_join_side_is_filtered_dup_set(spark):
+    """q_substring_dedup: no cartesian product; the window stream joins
+    LeftSemi against the duplicated-digest set (count>=2 filtered BEFORE
+    the join), and n_windows is a length projection — the raw scan feeding
+    the outer join reads no exploded stream."""
+    plan = _plan(contract.QUERIES["q_substring_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "(count(1)#" in plan or "count(1) >= 2" in plan.replace("L", "") \
+        or "_n" in plan  # the >=2 filter lands between the agg and join
+    assert "FLOOR" in plan.upper()  # n_windows projection
+
+
+def test_dsir_aggregates_are_bucket_bounded_and_broadcast(spark):
+    """q_dsir_importance: the log-ratio table reaches scoring via a
+    BroadcastExchange (never a corpus-side shuffle join), no window, no
+    cartesian except the two 1-row totals."""
+    plan = _plan(contract.QUERIES["q_dsir_importance"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_blocklist_is_broadcast_join_no_window(spark):
+    """q_url_blocklist: the domain table joins broadcast; the only
+    corpus shuffle is the per-doc min aggregate."""
+    plan = _plan(contract.QUERIES["q_url_blocklist"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_word_ngrams_never_nests_split_inside_transform(spark):
+    """The HOF-safety property itself: in the analyzed bigram plan the
+    split() appears only in zip_with/slice ARGUMENT position, never
+    inside a LambdaFunction body (where it would re-evaluate per
+    element)."""
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators.textstats import (
+        WS_RUN,
+        word_ngrams,
+    )
+
+    d = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    words = F.split(F.trim(F.col("text")), WS_RUN)
+    expr = str(word_ngrams(words, 3)._jc)
+    head, _, lam = expr.partition("lambdafunction")
+    assert "split" in head        # split feeds the slice arguments...
+    assert "split" not in lam     # ...and never the lambda bodies

@@ -321,3 +321,31 @@ class TestHashedNgramImportance:
         d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             sampling.hashed_ngram_importance(d, d, num_buckets=0)
+
+
+class TestWordNgrams:
+    def test_matches_python_reference_various_n(self, spark):
+        """word_ngrams == the obvious sequential n-gram list for n in
+        1..4, including arrays shorter than n (-> []) and single-word
+        docs."""
+        from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators.textstats import (
+            WS_RUN,
+            word_ngrams,
+        )
+
+        texts = ["a b c d e f", "one", "", "x y", "p q r s",
+                 "  spaced   out   tokens  "]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        words_col = F.split(F.trim(F.col("text")), WS_RUN)
+        for n in (1, 2, 3, 4):
+            got = {r.doc_id: r.g for r in docs.select(
+                "doc_id", word_ngrams(words_col, n).alias("g")).collect()}
+            for i, t in enumerate(texts):
+                ws = t.strip().split()
+                if not t.strip():
+                    ws = [""]  # split("") == [""], mirrored
+                expect = [" ".join(ws[j:j + n])
+                          for j in range(len(ws) - n + 1)]
+                assert got[i] == expect, (n, t)
