@@ -467,8 +467,8 @@ def cmd_dsir(spark, args) -> dict:
 
 def cmd_curate(spark, args) -> dict:
     """The composed pretraining curation pipeline (operators/curate.py):
-    host quota -> exact dedup -> near-dup keep-one -> decontaminate ->
-    quality filter, in pinned order. EACH STAGE commits its survivor-key
+    host quota -> exact dedup -> near-dup keep-one -> substring
+    heavy-dup drop -> decontaminate -> quality filter, in pinned order. EACH STAGE commits its survivor-key
     table (`curate_<stage>`) exactly-once per run id, and the next stage
     reads the committed keys back — so a crashed run resumes at the failed
     stage with leaf-plan inputs, and a replayed run id is a per-stage
@@ -776,14 +776,16 @@ def main(argv=None) -> None:
     p = sub.add_parser("curate",
                        help="composed curation pipeline: host quota -> "
                             "exact dedup -> near-dup keep-one -> "
-                            "decontaminate -> quality filter; one "
+                            "substring heavy-dup drop -> decontaminate -> "
+                            "quality filter; one "
                             "exactly-once commit PER STAGE (crash-resumable"
                             " at stage granularity)")
     _add_common(p)
     p.add_argument("--stages", nargs="+", default=None,
                    metavar="STAGE",
                    help="subset of stages to run (order stays pinned): "
-                        "host_sample exact neardup decontaminate quality")
+                        "host_sample exact neardup substrdup "
+                        "decontaminate quality")
     p.add_argument("--quota", type=int, default=10,
                    help="per-host document quota for host_sample")
     p.add_argument("--min-quality", type=float, default=0.5)

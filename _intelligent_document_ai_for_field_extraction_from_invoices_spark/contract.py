@@ -396,9 +396,9 @@ def q_contamination(spark, sf_dir):
 
 def q_curate_survivors(spark, sf_dir):
     """The COMPOSED curation pipeline (operators/curate.py): host quota ->
-    exact dedup -> near-dup clustering keep-one -> benchmark
-    decontamination -> quality/repetition filters, in the pinned stage
-    order. The oracle replays the whole chain as nested CTEs — each stage
+    exact dedup -> near-dup clustering keep-one -> ExactSubstr heavy-dup
+    drop -> benchmark decontamination -> quality/repetition filters, in
+    the pinned stage order. The oracle replays the whole chain as nested CTEs — each stage
     consuming the previous stage's survivor set — so the stage-ORDERING
     semantics (not just each operator) are hash-pinned."""
     d = _docs_wide(spark, sf_dir)
@@ -1408,9 +1408,33 @@ ORACLES: dict[str, str] = {
         ), s3 AS (
           SELECT s2.* FROM s2 LEFT JOIN comp USING (doc_id)
           WHERE cid IS NULL OR cid = doc_id
-        ), cw AS (  -- stage 4: decontaminate vs the FULL corpus benchmark
+        ), sw AS (  -- stage 4: ExactSubstr heavy-dup drop over s3
+          SELECT doc_id, text AS t FROM s3 WHERE length(text) >= 64
+        ), swin AS (
+          SELECT doc_id, md5(substring(t, pos, 64)) AS sd
+          FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, length(t) - 63, 16))
+                         AS pos
+                FROM sw) z
+        ), sdup AS (
+          SELECT sd FROM swin GROUP BY sd HAVING count(*) >= 2
+        ), snd AS (
+          SELECT doc_id, count(*)::BIGINT AS sndw
+          FROM swin JOIN sdup USING (sd) GROUP BY doc_id
+        ), s3b AS (
+          SELECT s3.* FROM s3 LEFT JOIN snd USING (doc_id)
+          WHERE NOT (
+            (CASE WHEN length(s3.text) >= 64
+                  THEN (floor((length(s3.text) - 64) / 16) + 1)::BIGINT
+                  ELSE 0 END) > 0
+            AND coalesce(sndw, 0) * 10000 >=
+                5000 * (CASE WHEN length(s3.text) >= 64
+                             THEN (floor((length(s3.text) - 64) / 16)
+                                   + 1)::BIGINT
+                             ELSE 0 END))
+        ), cw AS (  -- stage 5: decontaminate vs the FULL corpus benchmark
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-          FROM s3
+          FROM s3b
         ), csh AS (
           SELECT DISTINCT doc_id, array_to_string(ws[(i+1):(i+8)], ' ') AS g
           FROM (SELECT doc_id, ws, unnest(range(len(ws) - 8 + 1)) AS i
@@ -1425,9 +1449,9 @@ ORACLES: dict[str, str] = {
         ), chit AS (
           SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (g)
         ), s4 AS (
-          SELECT s3.* FROM s3 LEFT JOIN chit ON s3.doc_id = chit.doc_id
+          SELECT s3b.* FROM s3b LEFT JOIN chit ON s3b.doc_id = chit.doc_id
           WHERE chit.doc_id IS NULL
-        ), qb AS (  -- stage 5: quality + repetition gate
+        ), qb AS (  -- stage 6: quality + repetition gate
           SELECT doc_id, source,
                  greatest(len(regexp_extract_all(text, '\\S+')), 1) AS n_tok,
                  len(regexp_extract_all(lower(text),

@@ -11,11 +11,17 @@ contract.py q_curate_survivors):
   2. exact          exact-duplicate removal, keep the smallest doc id
   3. neardup        shingle-LSH candidate pairs -> connected components ->
                     keep each cluster's canonical member
-  4. decontaminate  drop documents sharing any word n-gram with the
+  4. substrdup      ExactSubstr-style heavy-duplication drop (Lee et al.
+                    2021): docs whose sliding-window digest-collision
+                    fraction clears `substr_heavy_frac` are removed —
+                    after near-dup keep-one, which already removed the
+                    whole-document-level copies that would otherwise make
+                    every window of a surviving doc look duplicated
+  5. decontaminate  drop documents sharing any word n-gram with the
                     benchmark/eval suite (GPT-3 appendix C move) — after
                     dedup so the expensive shingle join runs on the
                     smaller corpus
-  5. quality        Gopher-style filters: composite quality score plus
+  6. quality        Gopher-style filters: composite quality score plus
                     the duplicate-line repetition signal
 
 Scale shape: every stage is one of the package's audited operators
@@ -41,7 +47,8 @@ from . import dedup, textstats
 from .dedup import _bq
 
 # stage names in pinned execution order
-STAGE_ORDER = ["host_sample", "exact", "neardup", "decontaminate", "quality"]
+STAGE_ORDER = ["host_sample", "exact", "neardup", "substrdup",
+               "decontaminate", "quality"]
 
 # observability: the last curate_survivors run's per-stage survivor counts
 # (only populated when with_stats=True — counting costs one job per stage)
@@ -84,6 +91,22 @@ def neardup_keep_one(docs: DataFrame, key: str = "doc_id",
     return dedup.keep_canonical(docs, comps, key=key)
 
 
+def substrdup_drop(docs: DataFrame, key: str = "doc_id",
+                   text_col: str = "text", window: int = 64,
+                   stride: int = 16,
+                   heavy_frac: float = 0.5) -> DataFrame:
+    """ExactSubstr heavy-duplication drop: remove docs whose
+    `dedup.substring_dup_stats` dup_heavy flag fires (>= heavy_frac of
+    their sliding windows occur >= 2 times corpus-wide). The flag rule is
+    the operator's own exact-integer threshold — single source of truth
+    with its DuckDB oracle."""
+    stats = dedup.substring_dup_stats(docs, key=key, text_col=text_col,
+                                      window=window, stride=stride,
+                                      heavy_frac=heavy_frac)
+    keep = stats.filter(~F.col("dup_heavy")).select(_bq(key))
+    return docs.join(keep, key, "left_semi")
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame,
                   key: str = "doc_id", text_col: str = "text",
                   n: int = 8) -> DataFrame:
@@ -118,7 +141,9 @@ def run_stage(stage: str, docs: DataFrame, benchmark: DataFrame | None = None,
               host_col: str = "source", quota: int = 10,
               shingle_n: int = 3, min_shared: int = 2,
               contamination_n: int = 8, min_quality: float = 0.5,
-              max_dup_line_frac: float = 0.3) -> DataFrame:
+              max_dup_line_frac: float = 0.3,
+              substr_window: int = 64, substr_stride: int = 16,
+              substr_heavy_frac: float = 0.5) -> DataFrame:
     """One named curation stage over `docs` (the previous stage's
     survivors). The CLI drives stages individually so each one commits to
     the catalog exactly-once per run id and a crashed pipeline resumes at
@@ -131,6 +156,10 @@ def run_stage(stage: str, docs: DataFrame, benchmark: DataFrame | None = None,
     if stage == "neardup":
         return neardup_keep_one(docs, key=key, text_col=text_col,
                                 shingle_n=shingle_n, min_shared=min_shared)
+    if stage == "substrdup":
+        return substrdup_drop(docs, key=key, text_col=text_col,
+                              window=substr_window, stride=substr_stride,
+                              heavy_frac=substr_heavy_frac)
     if stage == "decontaminate":
         if benchmark is None:
             raise ValueError("the decontaminate stage needs a benchmark")
@@ -150,6 +179,8 @@ def curate_survivors(docs: DataFrame, benchmark: DataFrame,
                      shingle_n: int = 3, min_shared: int = 2,
                      contamination_n: int = 8, min_quality: float = 0.5,
                      max_dup_line_frac: float = 0.3,
+                     substr_window: int = 64, substr_stride: int = 16,
+                     substr_heavy_frac: float = 0.5,
                      stages: list[str] | None = None,
                      with_stats: bool = False) -> DataFrame:
     """Run the full curation chain in its pinned order and return the
@@ -171,7 +202,10 @@ def curate_survivors(docs: DataFrame, benchmark: DataFrame,
                         shingle_n=shingle_n, min_shared=min_shared,
                         contamination_n=contamination_n,
                         min_quality=min_quality,
-                        max_dup_line_frac=max_dup_line_frac)
+                        max_dup_line_frac=max_dup_line_frac,
+                        substr_window=substr_window,
+                        substr_stride=substr_stride,
+                        substr_heavy_frac=substr_heavy_frac)
         if with_stats:
             cur = dedup.register_cache(cur.cache())
             counts[stage] = cur.count()
