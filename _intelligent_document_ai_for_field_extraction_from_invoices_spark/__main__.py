@@ -460,7 +460,7 @@ def cmd_dsir(spark, args) -> dict:
     else:
         target = docs.filter(F.col("doc_id") % args.target_mod == 1)
     scores = sampling_ops.hashed_ngram_importance(
-        docs, target, num_buckets=args.buckets)
+        docs, target, num_buckets=args.buckets, hash_fn=args.hash_fn)
     return _emit(Catalog(args.output), "dsir_scores", scores, args.run_id,
                  mode="overwrite")
 
@@ -772,6 +772,10 @@ def main(argv=None) -> None:
     p.add_argument("--target-mod", type=int, default=37)
     p.add_argument("--buckets", type=int, default=8192,
                    help="hashed n-gram bucket count")
+    p.add_argument("--hash-fn", default="md5",
+                   choices=["md5", "xxhash64"],
+                   help="md5 = oracle-replayable tier; xxhash64 = native "
+                        "scale tier (cheaper hashing, no DuckDB twin)")
 
     p = sub.add_parser("curate",
                        help="composed curation pipeline: host quota -> "

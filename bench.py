@@ -89,6 +89,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     k = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_K", "3")))
+    # one long-lived local-mode JVM runs 30+ queries x k passes with
+    # repeated GB-scale cache/unpersist cycles; at the default 8g heap the
+    # later passes pay full-GC tax (measured: q_ngram_jaccard 14 s pass 1
+    # -> 44 s pass 3 at sf1). The bench host has 128 GiB — give the bench
+    # session real headroom (tests keep the 8g default).
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark("bench", cores=cpus)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -134,6 +140,25 @@ def main() -> None:
             emb768, threshold=0.40, num_planes=64, bands=4
         ).write.format("noop").mode("overwrite").save()
 
+    def dsir_xxhash64():
+        """Bench-only entry: the DSIR importance scorer's xxhash64 SCALE
+        tier (native 64-bit hashing instead of the oracle tier's
+        md5-hex-decode chain) over the same corpus/config as
+        q_dsir_importance. Semantics pinned by
+        tests/test_sampling_packing.py (TestHashedNgramImportanceXxhash),
+        not a DuckDB oracle — DuckDB has no xxhash64 twin, which is
+        exactly why the md5 tier exists."""
+        from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (  # noqa: PLC0415
+            sampling,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id")
+        tgt = d.filter(F.col("doc_id") % 37 == 1)
+        sampling.hashed_ngram_importance(
+            d, tgt, num_buckets=512, hash_fn="xxhash64"
+        ).write.format("noop").mode("overwrite").save()
+
     # k interleaved passes over the WHOLE set (not k back-to-back repeats of
     # each query): host-noise episodes then hit every query equally instead
     # of burying one query's samples inside one bad minute
@@ -149,6 +174,9 @@ def main() -> None:
             dedup.release_caches()  # no cross-query cache residue
         samples.setdefault("q_hyperplane_matmul_768", []).append(
             time_action(hyperplane_matmul_768))
+        dedup.release_caches()
+        samples.setdefault("q_dsir_xxhash64", []).append(
+            time_action(dsir_xxhash64))
         dedup.release_caches()
     pages.unpersist()
 

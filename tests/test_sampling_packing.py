@@ -349,3 +349,39 @@ class TestWordNgrams:
                 expect = [" ".join(ws[j:j + n])
                           for j in range(len(ws) - n + 1)]
                 assert got[i] == expect, (n, t)
+
+
+class TestHashedNgramImportanceXxhash:
+    def test_scale_tier_preserves_semantics(self, spark):
+        """The xxhash64 scale tier: buckets differ from md5, but the
+        DSIR semantics hold — a target-identical doc scores positive and
+        above an off-distribution doc; empty docs get NULL; results are
+        partitioning-invariant."""
+        tgt = spark.createDataFrame(
+            [(100 + i, "clean prose about model training data quality")
+             for i in range(4)],
+            "doc_id long, text string")
+        docs = spark.createDataFrame([
+            (1, "clean prose about model training data quality"),
+            (2, "zzqx vbnp qqwr kklm zzqx vbnp qqwr kklm"),
+            (3, ""),
+        ], "doc_id long, text string")
+        out = {r.doc_id: r for r in sampling.hashed_ngram_importance(
+            docs, tgt, num_buckets=4096, hash_fn="xxhash64").collect()}
+        assert out[1].avg_log_ratio > 0 > out[2].avg_log_ratio
+        assert out[3].n_grams == 0 and out[3].avg_log_ratio is None
+        # same n_grams as the md5 tier (hash choice can't change counts)
+        md5_out = {r.doc_id: r.n_grams
+                   for r in sampling.hashed_ngram_importance(
+                       docs, tgt, num_buckets=4096).collect()}
+        assert {k: v.n_grams for k, v in out.items()} == md5_out
+        rep = {r.doc_id: r.avg_log_ratio
+               for r in sampling.hashed_ngram_importance(
+                   docs.repartition(7), tgt, num_buckets=4096,
+                   hash_fn="xxhash64").collect()}
+        assert rep == {k: v.avg_log_ratio for k, v in out.items()}
+
+    def test_rejects_unknown_hash_fn(self, spark):
+        d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="hash_fn"):
+            sampling.hashed_ngram_importance(d, d, hash_fn="sha1")

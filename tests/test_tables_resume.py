@@ -851,3 +851,55 @@ def test_read_incremental_skips_compact_rejects_removals(spark, tmp_path):
     v5 = cat.overwrite("t", spark.range(2))
     with pytest.raises(ValueError, match="overwrite"):
         cat.read_incremental(spark, "t", v4, v5)
+
+
+def test_read_incremental_random_histories_match_model(spark, tmp_path):
+    """Model-based check: random append/compact histories -> every
+    (since, until) window's incremental read equals the model's 'rows
+    added by appends in range', tagged with the right commit version;
+    windows crossing an overwrite raise."""
+    import random
+
+    rng = random.Random(20260817)
+    next_id = [0]
+
+    def fresh_rows(n):
+        ids = list(range(next_id[0], next_id[0] + n))
+        next_id[0] += n
+        return ids
+
+    cat = Catalog(str(tmp_path))
+    # model: version -> (op, ids-added)
+    history = {}
+    v = cat.overwrite("t", spark.range(0, 4).withColumn(
+        "v", F.col("id")))
+    history[v] = ("overwrite", list(range(4)))
+    next_id[0] = 4
+    for step in range(8):
+        op = rng.choice(["append", "append", "append", "compact"])
+        if op == "append":
+            ids = fresh_rows(rng.randint(1, 5))
+            df = spark.createDataFrame([(i, i) for i in ids],
+                                       "id long, v long")
+            v = cat.append("t", df, txn=f"s{step}")
+            history[v] = ("append", ids)
+        else:
+            cv = cat.compact(spark, "t")["version"]
+            if cv is not None:  # no-op compact (already right-sized)
+                history[cv] = ("compact", [])
+    versions = sorted(history)
+    for _ in range(12):
+        a, b = sorted(rng.sample(versions, 2))
+        window_ops = [history[x][0] for x in versions if a < x <= b]
+        if "overwrite" in window_ops:
+            with pytest.raises(ValueError):
+                cat.read_incremental(spark, "t", a, b).collect()
+            continue
+        expect = {}
+        for x in versions:
+            if a < x <= b and history[x][0] == "append":
+                for i in history[x][1]:
+                    expect[i] = x
+        got = {r.id: r._commit_version
+               for r in cat.read_incremental(spark, "t", a, b).collect()}
+        assert got == expect, (a, b)
