@@ -465,6 +465,21 @@ def cmd_dsir(spark, args) -> dict:
                  mode="overwrite")
 
 
+def cmd_pplbucket(spark, args) -> dict:
+    """CCNet head/middle/tail perplexity bucketing: corpus bigram-LM
+    scores + exact tercile cutoffs (optionally estimated on a
+    deterministic --sample-rate subset at scale) -> `ppl_buckets`.
+    Overwrite semantics: cutoffs depend on the whole corpus, so two
+    runs' bucketings must never coexist in one table."""
+    from .operators import textstats as textstats_ops  # noqa: PLC0415
+
+    docs = _docs(spark, args)
+    out = textstats_ops.perplexity_buckets(
+        docs, top_k=args.top_k, sample_rate=args.sample_rate)
+    return _emit(Catalog(args.output), "ppl_buckets", out, args.run_id,
+                 mode="overwrite")
+
+
 def cmd_curate(spark, args) -> dict:
     """The composed pretraining curation pipeline (operators/curate.py):
     host quota -> exact dedup -> near-dup keep-one -> substring
@@ -761,6 +776,16 @@ def main(argv=None) -> None:
                    help="dup_heavy threshold on the duplicated-window "
                         "fraction")
 
+    p = sub.add_parser("pplbucket",
+                       help="CCNet head/middle/tail perplexity buckets "
+                            "-> ppl_buckets")
+    _add_common(p)
+    p.add_argument("--top-k", type=int, default=50_000,
+                   help="bigram-LM prune size")
+    p.add_argument("--sample-rate", type=float, default=1.0,
+                   help="deterministic subset for the tercile cutoffs "
+                        "(bound the exact-percentile buffer at scale)")
+
     p = sub.add_parser("dsir",
                        help="DSIR hashed n-gram importance scores vs a "
                             "target corpus -> dsir_scores")
@@ -856,6 +881,7 @@ def main(argv=None) -> None:
         "simhash": cmd_simhash,
         "substrdup": cmd_substrdup,
         "dsir": cmd_dsir,
+        "pplbucket": cmd_pplbucket,
         "sample": cmd_sample,
         "pack": cmd_pack,
         "ann": cmd_ann,

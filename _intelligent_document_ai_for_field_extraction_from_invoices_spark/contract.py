@@ -372,6 +372,16 @@ def q_dsir_importance(spark, sf_dir):
     return sampling.hashed_ngram_importance(d, tgt, num_buckets=512)
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (textstats.
+    perplexity_buckets over the top-64 pruned bigram LM): corpus tercile
+    cutoffs on avg_nll, every doc tagged. The oracle replays the score
+    AND the exact interpolated percentiles (quantile_cont == Spark
+    percentile)."""
+    d = _docs_wide(spark, sf_dir)
+    return textstats.perplexity_buckets(d, top_k=64)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Deterministic sequence packing (packing.pack_sequences): context-
     window assignment under concatenate-then-chop at 512 tokens/window,
@@ -1053,6 +1063,40 @@ def _kmeans_oracle_sql(num_centroids: int = 8, iters: int = 2,
         ORDER BY cos_sim DESC, e.vec_id LIMIT {k}"""
 
 
+# shared by q_bigram_lm_score (verbatim) and q_ccnet_buckets (as a
+# derived table feeding the tercile cutoffs)
+_BIGRAM_SCORE_SQL = """
+        WITH w AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents
+        ), bg AS (
+          SELECT doc_id, array_to_string(ws[(i+1):(i+2)], ' ') AS g
+          FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+                FROM w WHERE len(ws) >= 2) s
+        ), cnt AS (
+          SELECT g, count(*) AS n FROM bg GROUP BY g
+        ), tot AS (
+          SELECT sum(n)::BIGINT AS nn, count(*)::BIGINT AS vv FROM cnt
+        ), lm AS (
+          SELECT g, n FROM cnt ORDER BY n DESC, g ASC LIMIT 64
+        ), lp AS (
+          SELECT g, round(ln((n + 1) / (nn + vv)) * 1000000)::BIGINT AS lpm
+          FROM lm, tot
+        ), oov AS (
+          SELECT round(ln(1.0 / (nn + vv)) * 1000000)::BIGINT AS lp0
+          FROM tot
+        ), sc AS (
+          SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+                 sum(coalesce(lpm, lp0))::BIGINT AS s,
+                 sum(CASE WHEN lpm IS NULL THEN 1 ELSE 0 END)::BIGINT AS o
+          FROM bg LEFT JOIN lp USING (g), oov GROUP BY bg.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+               round(-s / (n_bigrams * 1000000.0), 4) AS avg_nll,
+               round(o / n_bigrams, 4) AS oov_frac
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"""
+
 ORACLES: dict[str, str] = {
     **_EXTRACT_ORACLES,
     "q_bpe_token_stats": _bpe_oracle_sql(),
@@ -1157,37 +1201,23 @@ ORACLES: dict[str, str] = {
                     WHEN u32 * 20 < 19 * 4294967296 THEN 'train'
                     ELSE 'val' END AS split
         FROM u""",
-    "q_bigram_lm_score": """
-        WITH w AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-          FROM documents
-        ), bg AS (
-          SELECT doc_id, array_to_string(ws[(i+1):(i+2)], ' ') AS g
-          FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
-                FROM w WHERE len(ws) >= 2) s
-        ), cnt AS (
-          SELECT g, count(*) AS n FROM bg GROUP BY g
-        ), tot AS (
-          SELECT sum(n)::BIGINT AS nn, count(*)::BIGINT AS vv FROM cnt
-        ), lm AS (
-          SELECT g, n FROM cnt ORDER BY n DESC, g ASC LIMIT 64
-        ), lp AS (
-          SELECT g, round(ln((n + 1) / (nn + vv)) * 1000000)::BIGINT AS lpm
-          FROM lm, tot
-        ), oov AS (
-          SELECT round(ln(1.0 / (nn + vv)) * 1000000)::BIGINT AS lp0
-          FROM tot
-        ), sc AS (
-          SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
-                 sum(coalesce(lpm, lp0))::BIGINT AS s,
-                 sum(CASE WHEN lpm IS NULL THEN 1 ELSE 0 END)::BIGINT AS o
-          FROM bg LEFT JOIN lp USING (g), oov GROUP BY bg.doc_id
+    "q_bigram_lm_score": _BIGRAM_SCORE_SQL,
+    # same pruned-LM score as a derived table; tercile cutoffs via
+    # quantile_cont = Spark percentile (identical p*(N-1) linear
+    # interpolation over the sorted multiset); 1/3 and 2/3 are the
+    # same IEEE doubles in both engines
+    "q_ccnet_buckets": f"""
+        WITH sc2 AS ({_BIGRAM_SCORE_SQL}),
+        thr AS (
+          SELECT quantile_cont(avg_nll, [1.0/3, 2.0/3]) AS t
+          FROM sc2 WHERE avg_nll IS NOT NULL
         )
-        SELECT d.doc_id,
-               coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
-               round(-s / (n_bigrams * 1000000.0), 4) AS avg_nll,
-               round(o / n_bigrams, 4) AS oov_frac
-        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
+        SELECT doc_id, n_bigrams, avg_nll,
+               CASE WHEN avg_nll IS NULL THEN NULL
+                    WHEN avg_nll <= t[1] THEN 'head'
+                    WHEN avg_nll <= t[2] THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM sc2, thr""",
     # ONE flat sequential window — the two-level distributed prefix sum in
     # packing.pack_sequences must reproduce it exactly (integer math)
     # same salted-md5 bucketing / add-one smoothing / micro-nat rounding
@@ -1877,6 +1907,7 @@ QUERIES = {
     "q_split_assign": q_split_assign,
     "q_bigram_lm_score": q_bigram_lm_score,
     "q_dsir_importance": q_dsir_importance,
+    "q_ccnet_buckets": q_ccnet_buckets,
     "q_pack_sequences": q_pack_sequences,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,

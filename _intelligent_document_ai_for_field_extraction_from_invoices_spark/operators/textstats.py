@@ -355,3 +355,59 @@ def bigram_logprob_score(df: DataFrame, key: str = "doc_id",
             F.round(F.col("_oov") / F.col("n_bigrams"), 4).alias("oov_frac"),
         )
     )
+
+
+def perplexity_buckets(df: DataFrame, key: str = "doc_id",
+                       text_col: str = "text", top_k: int = 50_000,
+                       sample_rate: float = 1.0,
+                       salt: str = ":ppl") -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2019 §4.3): score
+    every doc with the corpus bigram LM (`bigram_logprob_score`), compute
+    the corpus's avg_nll TERCILE cutoffs, and tag each doc `head`
+    (most fluent third), `middle`, or `tail`. CCNet trains on head+middle
+    and drops tail; downstream callers filter on the bucket column.
+    Docs with no bigrams (empty/one-word) get a NULL bucket.
+
+    Cross-engine determinism: avg_nll is already deterministic (integer
+    micro-nat sums, rounded once); the tercile cutoffs use EXACT linear-
+    interpolated percentiles (index p*(N-1) over the sorted multiset) —
+    Spark `percentile` and DuckDB `quantile_cont` implement the identical
+    formula, and 1/3, 2/3 are the same IEEE doubles in both engines, so
+    the cutoffs and every <=-comparison replay bit-for-bit.
+
+    Scale shape: scoring is bigram_logprob_score's (broadcast LM + one
+    per-doc integer aggregate). The EXACT percentile is the one
+    deliberately bounded buffer: it collects the sampled scores into a
+    single aggregation buffer, so at corpus scale set `sample_rate` < 1
+    — the threshold sample is drawn with the package's deterministic
+    salted-u32 accept test (same doc set on every engine/run; CCNet
+    itself computes cutoffs on a sample), keeping the buffer at
+    rate * N doubles while every doc still gets bucketed by the
+    broadcast cutoffs. At the default 1.0 the buffer is the whole score
+    column — fine at test scale, documented unbounded beyond it."""
+    if not (0.0 < sample_rate <= 1.0):
+        raise ValueError("perplexity_buckets: sample_rate must be in "
+                         f"(0, 1], got {sample_rate}")
+    scored = bigram_logprob_score(df, key=key, text_col=text_col,
+                                  top_k=top_k)
+    sample = scored.filter(F.col("avg_nll").isNotNull())
+    if sample_rate < 1.0:
+        from .sampling import _U32_SPAN, _u32  # noqa: PLC0415
+
+        rate_scaled = int(round(sample_rate * _U32_SPAN))
+        sample = sample.filter(
+            _u32(F.col(key), salt) < F.lit(rate_scaled))
+    thr = sample.agg(F.percentile(
+        "avg_nll",
+        F.array(F.lit(1) / 3, F.lit(2) / 3)).alias("_t"))
+    bucket = (
+        F.when(F.col("avg_nll").isNull(), F.lit(None).cast("string"))
+        .when(F.col("avg_nll") <= F.col("_t")[0], "head")
+        .when(F.col("avg_nll") <= F.col("_t")[1], "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select(F.col(key), "n_bigrams", "avg_nll",
+                bucket.alias("ppl_bucket"))
+    )

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "q_dsir_importance",
     "q_incremental_dedup",
     "q_url_blocklist",
+    "q_ccnet_buckets",
 ]
 
 

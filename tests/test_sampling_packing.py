@@ -385,3 +385,38 @@ class TestHashedNgramImportanceXxhash:
         d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="hash_fn"):
             sampling.hashed_ngram_importance(d, d, hash_fn="sha1")
+
+
+class TestPerplexityBuckets:
+    def test_terciles_and_null_bucket(self, spark):
+        """Roughly a third of scoreable docs land in each bucket; docs
+        with no bigrams get a NULL bucket; the sampled-threshold path
+        still buckets EVERY doc."""
+        from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators.textstats import (
+            perplexity_buckets,
+        )
+
+        # fluency gradient: more repeats of the corpus-dominant bigrams
+        # -> lower avg_nll; the rare tail is OOV under the tiny LM
+        rows = [(i, "the cat sat on the mat " * (1 + i % 5)
+                 + f"rare{i} glyph{i * 7}")
+                for i in range(30)]
+        rows += [(100, ""), (101, "solo")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = perplexity_buckets(docs, top_k=8).collect()
+        by, nll = {}, {}
+        for r in out:
+            by.setdefault(r.ppl_bucket, []).append(r.doc_id)
+            nll[r.doc_id] = r.avg_nll
+        assert set(by) == {"head", "middle", "tail", None}
+        assert sorted(by[None]) == [100, 101]
+        # bucket ordering: head is the most fluent (lowest nll) tier
+        assert max(nll[d] for d in by["head"]) \
+            <= min(nll[d] for d in by["middle"])
+        assert max(nll[d] for d in by["middle"]) \
+            <= min(nll[d] for d in by["tail"])
+        # sampled thresholds: all docs still bucketed, same columns
+        samp = perplexity_buckets(docs, top_k=64, sample_rate=0.5)
+        assert samp.count() == 32
+        with pytest.raises(ValueError):
+            perplexity_buckets(docs, sample_rate=0.0)
