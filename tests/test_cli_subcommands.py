@@ -605,3 +605,18 @@ def test_blocklist_subcommand(spark, tmp_path, capsys):
     assert blocked and all(r.host == "h0.example.com" for r in blocked)
     assert all(r.blocked_domain == "h0.example.com" for r in blocked)
     assert any(not r.blocked for r in rows)
+
+
+def test_pplbucket_subcommand(spark, tmp_path, capsys):
+    """pplbucket: CCNet terciles over the corpus, overwrite semantics
+    (cutoffs are corpus-global)."""
+    cat_dir = str(tmp_path / "cat")
+    out = _run(capsys, "pplbucket", "--input", SF_DIR, "--output", cat_dir,
+               "--top-k", "64", "--run-id", "p1")
+    assert out["table"] == "ppl_buckets" and out["rows_written"] == 500
+    rows = Catalog(cat_dir).read(spark, "ppl_buckets").collect()
+    buckets = {r.ppl_bucket for r in rows}
+    assert {"head", "middle", "tail"} <= buckets
+    out2 = _run(capsys, "pplbucket", "--input", SF_DIR, "--output", cat_dir,
+                "--top-k", "64", "--run-id", "p1")
+    assert out2["rows_written"] is None  # replay no-op
