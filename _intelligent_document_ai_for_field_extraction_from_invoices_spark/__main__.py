@@ -317,6 +317,24 @@ def cmd_dedup(spark, args) -> dict:
                  args.run_id)
 
 
+def cmd_changes(spark, args) -> dict:
+    """Read-only CDC summary: the rows added by append commits in
+    (--since, --until] of a catalog table (Catalog.read_incremental),
+    reported as per-commit-version row counts. The one aggregate job
+    runs over only the delta's files."""
+    cat = Catalog(args.catalog)
+    try:
+        delta = cat.read_incremental(spark, args.table, args.since,
+                                     args.until)
+    except (ValueError, FileNotFoundError) as e:
+        raise SystemExit(f"changes: {e}") from None
+    per = {str(r._commit_version): r.n for r in
+           delta.groupBy("_commit_version")
+           .agg(F.count("*").alias("n")).collect()}
+    return {"table": args.table, "since": args.since,
+            "rows": sum(per.values()), "by_version": per}
+
+
 def cmd_blocklist(spark, args) -> dict:
     """Domain blocklist flags over a committed extraction catalog's urls
     (UT1/C4-style): host or any dot-suffix in --domains -> blocked, with
@@ -694,6 +712,15 @@ def main(argv=None) -> None:
     p.add_argument("--digest-col", default="digest",
                    help="digest column name in the --against table")
 
+    p = sub.add_parser("changes",
+                       help="CDC summary: rows appended to a catalog "
+                            "table in (--since, --until]")
+    p.add_argument("--catalog", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--since", type=int, required=True)
+    p.add_argument("--until", type=int, default=None)
+    p.add_argument("--cores", default=None)
+
     p = sub.add_parser("blocklist",
                        help="domain blocklist flags over a committed "
                             "extraction catalog's urls -> url_block_flags")
@@ -872,6 +899,7 @@ def main(argv=None) -> None:
         "compact": cmd_compact,
         "dedup": cmd_dedup,
         "blocklist": cmd_blocklist,
+        "changes": cmd_changes,
         "jaccard": cmd_jaccard,
         "cc": cmd_cc,
         "minhash": cmd_minhash,

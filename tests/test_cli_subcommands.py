@@ -620,3 +620,21 @@ def test_pplbucket_subcommand(spark, tmp_path, capsys):
     out2 = _run(capsys, "pplbucket", "--input", SF_DIR, "--output", cat_dir,
                 "--top-k", "64", "--run-id", "p1")
     assert out2["rows_written"] is None  # replay no-op
+
+
+def test_changes_subcommand_reports_append_deltas(spark, tmp_path, capsys):
+    """changes: read-only CDC summary — per-commit-version row counts for
+    appends after --since; exits cleanly on a removed-rows range."""
+    cat_dir = str(tmp_path / "cat")
+    cat = Catalog(cat_dir)
+    v1 = cat.overwrite("t", spark.range(4))
+    cat.append("t", spark.range(4, 7), txn="a")
+    cat.append("t", spark.range(7, 9), txn="b")
+    out = _run(capsys, "changes", "--catalog", cat_dir, "--table", "t",
+               "--since", str(v1))
+    assert out["rows"] == 5
+    assert sorted(out["by_version"].values()) == [2, 3]
+    cat.overwrite("t", spark.range(2))
+    with pytest.raises(SystemExit, match="overwrite"):
+        _run(capsys, "changes", "--catalog", cat_dir, "--table", "t",
+             "--since", str(v1))
