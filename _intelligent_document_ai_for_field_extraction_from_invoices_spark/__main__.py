@@ -483,6 +483,19 @@ def cmd_dsir(spark, args) -> dict:
                  mode="overwrite")
 
 
+def cmd_c4(spark, args) -> dict:
+    """C4-style line/page cleaning over the docs table: terminal-punct +
+    min-words + javascript line filters, lorem-ipsum/brace page flags ->
+    `c4_cleaned` (clean_text + page_kept; filter downstream)."""
+    from .operators import textstats as textstats_ops  # noqa: PLC0415
+
+    docs = _docs(spark, args)
+    out = textstats_ops.c4_line_filter(
+        docs, min_words=args.min_words, min_lines=args.min_lines,
+        require_terminal_punct=not args.no_punct_rule)
+    return _emit(Catalog(args.output), "c4_cleaned", out, args.run_id)
+
+
 def cmd_pplbucket(spark, args) -> dict:
     """CCNet head/middle/tail perplexity bucketing: corpus bigram-LM
     scores + exact tercile cutoffs (optionally estimated on a
@@ -803,6 +816,14 @@ def main(argv=None) -> None:
                    help="dup_heavy threshold on the duplicated-window "
                         "fraction")
 
+    p = sub.add_parser("c4",
+                       help="C4-style line/page cleaning -> c4_cleaned")
+    _add_common(p)
+    p.add_argument("--min-words", type=int, default=5)
+    p.add_argument("--min-lines", type=int, default=3)
+    p.add_argument("--no-punct-rule", action="store_true",
+                   help="drop the terminal-punctuation line requirement")
+
     p = sub.add_parser("pplbucket",
                        help="CCNet head/middle/tail perplexity buckets "
                             "-> ppl_buckets")
@@ -910,6 +931,7 @@ def main(argv=None) -> None:
         "substrdup": cmd_substrdup,
         "dsir": cmd_dsir,
         "pplbucket": cmd_pplbucket,
+        "c4": cmd_c4,
         "sample": cmd_sample,
         "pack": cmd_pack,
         "ann": cmd_ann,

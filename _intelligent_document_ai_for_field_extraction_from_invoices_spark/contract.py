@@ -382,6 +382,33 @@ def q_ccnet_buckets(spark, sf_dir):
     return textstats.perplexity_buckets(d, top_k=64)
 
 
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line/page cleaning (textstats.c4_line_filter) over
+    synthetic multi-line pages built from doc_id arithmetic so every
+    branch fires: a good long sentence, a too-short line, a javascript
+    line, a no-terminal-punct line (doc_id % 7), and a tail that is
+    lorem-ipsum (% 13), a code brace (% 11), or clean. The oracle
+    replays every predicate."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    line1 = F.concat(F.lit("Sentence number "), did,
+                     F.lit(" is long enough to keep."))
+    line2 = F.lit("too short.")
+    line3 = F.concat(
+        F.lit("this line mentions javascript and has many words "), did)
+    line4 = (F.when(F.col("doc_id") % 7 == 0,
+                    F.lit("No terminal punctuation here at all"))
+             .otherwise(F.lit("Another good sentence with enough "
+                              "words right here!")))
+    tail = (F.when(F.col("doc_id") % 13 == 0,
+                   F.lit("lorem ipsum dolor sit amet and so forth."))
+            .when(F.col("doc_id") % 11 == 0,
+                  F.lit("code { blocks } do not belong in prose."))
+            .otherwise(F.lit("Final sentence to close the page?")))
+    txt = F.concat_ws("\n", line1, line2, line3, line4, tail)
+    return textstats.c4_line_filter(d.select("doc_id", txt.alias("text")))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Deterministic sequence packing (packing.pack_sequences): context-
     window assignment under concatenate-then-chop at 512 tokens/window,
@@ -1218,6 +1245,42 @@ ORACLES: dict[str, str] = {
                     WHEN avg_nll <= t[2] THEN 'middle'
                     ELSE 'tail' END AS ppl_bucket
         FROM sc2, thr""",
+    # same synthetic page construction + every C4 predicate as
+    # textstats.c4_line_filter / contract.q_c4_line_filter
+    "q_c4_line_filter": """
+        WITH pg AS (
+          SELECT doc_id,
+                 'Sentence number ' || doc_id || ' is long enough to keep.'
+                 || chr(10) || 'too short.'
+                 || chr(10) ||
+                 'this line mentions javascript and has many words '
+                 || doc_id
+                 || chr(10) || CASE WHEN doc_id % 7 = 0
+                      THEN 'No terminal punctuation here at all'
+                      ELSE 'Another good sentence with enough words ' ||
+                           'right here!' END
+                 || chr(10) || CASE WHEN doc_id % 13 = 0
+                      THEN 'lorem ipsum dolor sit amet and so forth.'
+                      WHEN doc_id % 11 = 0
+                      THEN 'code { blocks } do not belong in prose.'
+                      ELSE 'Final sentence to close the page?' END AS text
+          FROM documents
+        ), f AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+                 list_filter(string_split(text, chr(10)), x ->
+                   length(trim(x)) > 0
+                   AND regexp_matches(trim(x), '[.!?"]$')
+                   AND len(string_split_regex(trim(x), '\\s+')) >= 5
+                   AND NOT contains(lower(x), 'javascript')) AS ks
+          FROM pg
+        )
+        SELECT doc_id,
+               array_to_string(ks, chr(10)) AS clean_text,
+               len(ks)::BIGINT AS n_lines_kept,
+               (len(ls) - len(ks))::BIGINT AS n_lines_dropped,
+               (len(ks) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{')) AS page_kept
+        FROM f""",
     # ONE flat sequential window — the two-level distributed prefix sum in
     # packing.pack_sequences must reproduce it exactly (integer math)
     # same salted-md5 bucketing / add-one smoothing / micro-nat rounding
@@ -1908,6 +1971,7 @@ QUERIES = {
     "q_bigram_lm_score": q_bigram_lm_score,
     "q_dsir_importance": q_dsir_importance,
     "q_ccnet_buckets": q_ccnet_buckets,
+    "q_c4_line_filter": q_c4_line_filter,
     "q_pack_sequences": q_pack_sequences,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,

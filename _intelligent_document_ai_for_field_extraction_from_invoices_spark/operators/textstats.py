@@ -411,3 +411,48 @@ def perplexity_buckets(df: DataFrame, key: str = "doc_id",
         .select(F.col(key), "n_bigrams", "avg_nll",
                 bucket.alias("ppl_bucket"))
     )
+
+
+def c4_line_filter(df: DataFrame, key: str = "doc_id",
+                   text_col: str = "text", min_words: int = 5,
+                   min_lines: int = 3,
+                   require_terminal_punct: bool = True) -> DataFrame:
+    """C4-style line/page cleaning (Raffel et al. 2020 §2.2, the
+    deterministic subset): keep only lines that end in a terminal
+    punctuation mark (``. ! ? "``), carry at least `min_words` words, and
+    do not mention ``javascript``; rebuild the page from the kept lines;
+    flag the PAGE as dropped when fewer than `min_lines` lines survive or
+    the raw page contains ``lorem ipsum`` or a ``{`` (C4's
+    source-code/boilerplate tells). Returns (key, clean_text,
+    n_lines_kept, n_lines_dropped, page_kept) — filter on `page_kept`
+    and write `clean_text` downstream.
+
+    Everything is native array/string expressions: one split, one
+    list-filter whose lambda touches ONLY its own line variable (no
+    outer-expression capture — the HOF re-evaluation gotcha cannot
+    trigger), one array_join. No shuffle at all: this is a pure
+    projection, so it composes anywhere in a plan at any scale; the
+    DuckDB oracle (contract.py q_c4_line_filter) replays every predicate
+    verbatim."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _keep(line):
+        ok = F.length(F.trim(line)) > 0
+        if require_terminal_punct:
+            ok = ok & F.trim(line).rlike('[.!?"]$')
+        ok = ok & (F.size(F.split(F.trim(line), WS_RUN)) >= min_words)
+        return ok & ~F.lower(line).contains("javascript")
+
+    kept = F.filter(lines, _keep)
+    page_ok = ((F.size(kept) >= min_lines)
+               & ~F.lower(t).contains("lorem ipsum")
+               & ~t.contains("{"))
+    return df.select(
+        F.col(key),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("long")
+        .alias("n_lines_dropped"),
+        page_ok.alias("page_kept"),
+    )

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "q_incremental_dedup",
     "q_url_blocklist",
     "q_ccnet_buckets",
+    "q_c4_line_filter",
 ]
 
 

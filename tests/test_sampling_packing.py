@@ -420,3 +420,40 @@ class TestPerplexityBuckets:
         assert samp.count() == 32
         with pytest.raises(ValueError):
             perplexity_buckets(docs, sample_rate=0.0)
+
+
+class TestC4LineFilter:
+    def test_every_predicate_fires(self, spark):
+        from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators.textstats import (
+            c4_line_filter,
+        )
+
+        docs = spark.createDataFrame([
+            (1, 'Good first sentence with plenty of words here.\n'
+                'short one.\n'
+                'This javascript line is long enough but still banned.\n'
+                'A second proper sentence ends with a question mark?\n'
+                'And a third proper sentence closes the page!'),
+            (2, 'no punctuation so this line is dropped\n'
+                'Tiny.\nAlso tiny.'),
+            (3, 'One good sentence that would normally be kept here.\n'
+                'Second good sentence also fine and long enough.\n'
+                'Third good sentence mentions lorem ipsum sadly today.'),
+            (4, 'Braces are a code smell { see } in prose pages.\n'
+                'Second good sentence also fine and long enough.\n'
+                'Third proper sentence closes the page for sure.'),
+        ], "doc_id long, text string")
+        out = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+        assert out[1].n_lines_kept == 3 and out[1].page_kept
+        assert "javascript" not in out[1].clean_text
+        assert "short one." not in out[1].clean_text
+        assert out[2].n_lines_kept == 0 and not out[2].page_kept
+        assert out[2].clean_text == ""
+        # lorem ipsum: lines all keepable but the PAGE is dropped
+        assert out[3].n_lines_kept == 3 and not out[3].page_kept
+        # brace page: dropped even though enough lines survive
+        assert not out[4].page_kept
+        # relaxed punct mode keeps doc 2's first line
+        relaxed = {r.doc_id: r for r in c4_line_filter(
+            docs, require_terminal_punct=False).collect()}
+        assert relaxed[2].n_lines_kept == 1
