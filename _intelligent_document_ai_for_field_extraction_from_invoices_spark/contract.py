@@ -372,6 +372,15 @@ def q_dsir_importance(spark, sf_dir):
     return sampling.hashed_ngram_importance(d, tgt, num_buckets=512)
 
 
+def q_ngram_repetition(spark, sf_dir):
+    """The rest of the Gopher repetition family (textstats.
+    ngram_repetition_fracs): per-doc top-2/3/4-gram character fractions
+    with the (count, then lexicographically-largest-gram) argmax
+    tie-break; the oracle replays it as QUALIFY row_number per n."""
+    d = _docs_wide(spark, sf_dir)
+    return textstats.ngram_repetition_fracs(d)
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity bucketing (textstats.
     perplexity_buckets over the top-64 pruned bigram LM): corpus tercile
@@ -1229,6 +1238,49 @@ ORACLES: dict[str, str] = {
                     ELSE 'val' END AS split
         FROM u""",
     "q_bigram_lm_score": _BIGRAM_SCORE_SQL,
+    # same n-gram construction / argmax tie-break / char-frac rounding as
+    # textstats.ngram_repetition_fracs(ns=(2,3,4))
+    "q_ngram_repetition": """
+        WITH w AS (
+          SELECT doc_id, length(text) AS dl,
+                 string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, 2 AS n,
+                 array_to_string(ws[(i+1):(i+2)], ' ') AS g
+          FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+                FROM w WHERE len(ws) >= 2) s
+          UNION ALL
+          SELECT doc_id, 3 AS n,
+                 array_to_string(ws[(i+1):(i+3)], ' ') AS g
+          FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS i
+                FROM w WHERE len(ws) >= 3) s
+          UNION ALL
+          SELECT doc_id, 4 AS n,
+                 array_to_string(ws[(i+1):(i+4)], ' ') AS g
+          FROM (SELECT doc_id, ws, unnest(range(len(ws) - 3)) AS i
+                FROM w WHERE len(ws) >= 4) s
+        ), cnt AS (
+          SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY ALL
+        ), top AS (
+          SELECT doc_id, n, c * length(g) AS chars FROM cnt
+          QUALIFY row_number() OVER (PARTITION BY doc_id, n
+                                     ORDER BY c DESC, g DESC) = 1
+        )
+        SELECT w.doc_id,
+               round(coalesce(t2.chars, 0) / greatest(dl, 1), 4)
+                 AS top_2gram_char_frac,
+               round(coalesce(t3.chars, 0) / greatest(dl, 1), 4)
+                 AS top_3gram_char_frac,
+               round(coalesce(t4.chars, 0) / greatest(dl, 1), 4)
+                 AS top_4gram_char_frac
+        FROM w
+        LEFT JOIN (SELECT doc_id, chars FROM top WHERE n = 2) t2
+               ON w.doc_id = t2.doc_id
+        LEFT JOIN (SELECT doc_id, chars FROM top WHERE n = 3) t3
+               ON w.doc_id = t3.doc_id
+        LEFT JOIN (SELECT doc_id, chars FROM top WHERE n = 4) t4
+               ON w.doc_id = t4.doc_id""",
     # same pruned-LM score as a derived table; tercile cutoffs via
     # quantile_cont = Spark percentile (identical p*(N-1) linear
     # interpolation over the sorted multiset); 1/3 and 2/3 are the
@@ -1972,6 +2024,7 @@ QUERIES = {
     "q_dsir_importance": q_dsir_importance,
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_c4_line_filter": q_c4_line_filter,
+    "q_ngram_repetition": q_ngram_repetition,
     "q_pack_sequences": q_pack_sequences,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,

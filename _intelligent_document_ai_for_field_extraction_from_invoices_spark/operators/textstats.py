@@ -456,3 +456,50 @@ def c4_line_filter(df: DataFrame, key: str = "doc_id",
         .alias("n_lines_dropped"),
         page_ok.alias("page_kept"),
     )
+
+
+def ngram_repetition_fracs(df: DataFrame, key: str = "doc_id",
+                           text_col: str = "text",
+                           ns: tuple = (2, 3, 4)) -> DataFrame:
+    """The rest of the Gopher repetition family (Rae et al. 2021 §A1.1):
+    for each n in `ns`, the fraction of the document's characters claimed
+    by its MOST FREQUENT word n-gram (count * len(gram) / len(doc)) —
+    `top_{n}gram_char_frac` columns, 0.0 when the doc has no n-grams.
+    Gopher drops docs above ~0.20/0.18/0.16 for n=2/3/4; callers filter.
+
+    Deterministic tie-break: highest count, then lexicographically
+    LARGEST gram (one max-of-struct aggregate — no window over the
+    corpus; the oracle replays it as QUALIFY row_number).
+
+    Scale shape: ONE exploded stream carries all n-gram sizes (each gram
+    tagged with its n), so the corpus shuffles once into the
+    map-side-combined (key, n, gram) counts; the per-(key, n) argmax is
+    a second small aggregate over one row per distinct gram; the pivot
+    is over the STATIC n list (no pivot-value inference job). All gram
+    arrays come from the HOF-safe word_ngrams chain."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), WS_RUN)
+
+    # closure factory, NOT a `lambda g, n=n:` default — a two-argument
+    # lambda makes F.transform pass the ELEMENT INDEX as the second
+    # argument, silently clobbering the tag
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = F.flatten(F.array(*[
+        F.transform(word_ngrams(words, n), _tag(n)) for n in ns]))
+    occ = (df.select(F.col(key), F.explode(tagged).alias("p"))
+           .select(key, F.col("p.n").alias("n"), F.col("p.g").alias("g")))
+    per = occ.groupBy(key, "n", "g").agg(F.count("*").alias("c"))
+    top = (per.groupBy(key, "n")
+           .agg(F.max(F.struct("c", "g")).alias("t"))
+           .select(F.col(key), "n",
+                   (F.col("t.c") * F.length("t.g")).alias("chars")))
+    piv = top.groupBy(key).pivot("n", list(ns)).agg(F.first("chars"))
+    base = df.select(F.col(key),
+                     F.greatest(F.length(t), F.lit(1)).alias("_d"))
+    return base.join(piv, key, "left").select(
+        F.col(key),
+        *[F.round(F.coalesce(F.col(f"`{n}`"), F.lit(0)) / F.col("_d"), 4)
+          .alias(f"top_{n}gram_char_frac") for n in ns],
+    )

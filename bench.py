@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "q_url_blocklist",
     "q_ccnet_buckets",
     "q_c4_line_filter",
+    "q_ngram_repetition",
 ]
 
 

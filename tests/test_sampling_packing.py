@@ -457,3 +457,26 @@ class TestC4LineFilter:
         relaxed = {r.doc_id: r for r in c4_line_filter(
             docs, require_terminal_punct=False).collect()}
         assert relaxed[2].n_lines_kept == 1
+
+
+class TestNgramRepetitionFracs:
+    def test_known_values_and_index_lambda_guard(self, spark):
+        """Exact fracs on a hand-computed doc, plus the n-tag regression:
+        the n column must be the GRAM SIZE, never the element index
+        (F.transform feeds 2-arg lambdas the index)."""
+        from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators.textstats import (
+            ngram_repetition_fracs,
+        )
+
+        d = spark.createDataFrame([
+            (1, "spam spam spam spam spam"),   # len 24
+            (2, ""),
+        ], "doc_id long, text string")
+        out = {r.doc_id: r for r in ngram_repetition_fracs(d).collect()}
+        # top 2-gram "spam spam": c=4, len 9 -> 36/24
+        assert out[1].top_2gram_char_frac == 1.5
+        # top 3-gram: c=3, len 14 -> 42/24
+        assert out[1].top_3gram_char_frac == 1.75
+        # top 4-gram: c=2, len 19 -> 38/24
+        assert out[1].top_4gram_char_frac == round(38 / 24, 4)
+        assert out[2].top_2gram_char_frac == 0.0
