@@ -276,7 +276,7 @@ def q_substring_dedup(spark, sf_dir):
     fraction, and the exact-integer dup_heavy flag. The oracle replays the
     1-based stride positions, the md5 window digests, and the integer
     threshold compare."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return dedup.substring_dup_stats(d, window=64, stride=16,
                                      heavy_frac=0.2)
 
@@ -336,7 +336,7 @@ def q_mixture_sample(spark, sf_dir):
     expected token share becomes proportional to its configured weight via
     an exact-integer md5-uniform accept test — the oracle replays the
     identical lcm/min-ratio arithmetic, so the SAMPLE hash-matches."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return sampling.mixture_sample(d, _MIX_WEIGHTS) \
         .select("doc_id", "source", "n_tokens")
 
@@ -367,7 +367,7 @@ def q_dsir_importance(spark, sf_dir):
     == 1 exemplar subset; 512 buckets so collisions are exercised at test
     scale). The oracle replays the salted-md5 bucketing, the add-one
     smoothing, and the micro-nat rounding."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     tgt = d.filter(F.col("doc_id") % _BENCH_MOD == 1)
     return sampling.hashed_ngram_importance(d, tgt, num_buckets=512)
 
@@ -839,13 +839,13 @@ def q_label_centroid_norms(spark, sf_dir):
 
 
 def q_ivf_ann_vec1(spark, sf_dir):
-    return similarity.ivf_ann_query(_t(spark, sf_dir, "embeddings"), 1, k=5)
+    return similarity.ivf_ann_query(_emb_wide(spark, sf_dir), 1, k=5)
 
 
 def q_ivf_ann_multiprobe(spark, sf_dir):
     """Multi-probe IVF ANN: probe the query's 3 nearest buckets (the
     recall/cost dial between single-probe and brute force)."""
-    return similarity.ivf_ann_query(_t(spark, sf_dir, "embeddings"), 2, k=8,
+    return similarity.ivf_ann_query(_emb_wide(spark, sf_dir), 2, k=8,
                                     num_probes=3)
 
 

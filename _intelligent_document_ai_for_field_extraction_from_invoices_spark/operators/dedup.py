@@ -378,11 +378,19 @@ def substring_dup_stats(docs: DataFrame, key: str = "doc_id",
                 f"substring(_t, pos, {int(window)})")).alias("d"))
         )
 
-    dups = (_wins(docs).groupBy("d").agg(F.count("*").alias("_n"))
+    # ONE window-stream pass shared by both consumers: the per-(doc,
+    # digest) count collapses the stream behind a single (k, d) exchange,
+    # and the global dup set plus the per-doc dup count both read THAT
+    # aggregate — Spark's ReusedExchange makes the explode+md5 pipeline
+    # run once instead of twice (r7 optimization; result unchanged:
+    # n_dup = sum of a doc's window counts whose digest occurs >= 2
+    # times corpus-wide, exactly the old join-then-count semantics).
+    wd = _wins(docs).groupBy("k", "d").agg(F.count("*").alias("_c"))
+    dups = (wd.groupBy("d").agg(F.sum("_c").alias("_n"))
             .filter(F.col("_n") >= 2).select("d"))
     per_doc = (
-        _wins(docs).join(dups, "d", "leftsemi")
-        .groupBy("k").agg(F.count("*").alias("n_dup"))
+        wd.join(dups, "d", "leftsemi")
+        .groupBy("k").agg(F.sum("_c").alias("n_dup"))
     )
     thr = int(round(heavy_frac * 10_000))
     nw_proj = F.when(
