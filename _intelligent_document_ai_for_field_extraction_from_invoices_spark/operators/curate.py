@@ -206,8 +206,18 @@ def curate_survivors(docs: DataFrame, benchmark: DataFrame,
                         substr_window=substr_window,
                         substr_stride=substr_stride,
                         substr_heavy_frac=substr_heavy_frac)
+        # cache EVERY stage's survivor set (r7 optimization): each stage
+        # references its input several times (substrdup touches it 3x,
+        # decontaminate/quality 2-3x, keep-one join-backs 2x) and the
+        # near-dup stage runs EAGER clustering jobs over it — without a
+        # cache each of those re-executes the whole upstream stage chain
+        # against the full corpus, compounding per stage. Survivor sets
+        # only shrink stage over stage; callers running at a scale where
+        # even the stage-1 survivors don't fit block-manager memory use
+        # the CLI path, which materializes each stage to the catalog
+        # instead. All caches release via dedup.release_caches().
+        cur = dedup.register_cache(cur.cache())
         if with_stats:
-            cur = dedup.register_cache(cur.cache())
             counts[stage] = cur.count()
     ran_quality = "quality" in todo
     if not ran_quality:

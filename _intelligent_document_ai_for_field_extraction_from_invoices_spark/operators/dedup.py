@@ -731,6 +731,42 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
     # doubled the loop's first shuffle)
     edges0 = (sym if pairs_canonical else sym.distinct()).persist()
     n_edges = edges0.count()
+    if 0 < n_edges <= uf_break_max:
+        # EARLY DRIVER PATH (r7 optimization): the WHOLE symmetrized edge
+        # set already fits the union-find collect bound, so contraction
+        # rounds would only shrink a graph that is collectable as-is —
+        # each round costs several scheduling-latency-bound jobs (joins,
+        # a count, leaf resets) that dwarf the actual work on graphs this
+        # small (measured: the ~200-doc curate neardup stage spent ~5 s
+        # in round machinery for a few hundred edges). Collect once,
+        # close the components on the driver (min id = root — the exact
+        # fixpoint the loop converges to), return ONE driver-built label
+        # table. Past the bound (true corpus scale) the contraction loop
+        # below runs unchanged; UF_BREAK_MAX = 0 disables both driver
+        # paths (tests use it to exercise the distributed tail).
+        parent: dict = {}
+
+        def _find0(x):
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges0.collect():
+            ra, rb = _find0(row[0]), _find0(row[1])
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        qt = edges0.schema["a"].dataType
+        labels = spark.createDataFrame(
+            [(x, _find0(x)) for x in list(parent)],
+            StructType([StructField("node", qt), StructField("comp", qt)]))
+        edges0.unpersist()
+        uf_edges = n_edges
+        return _finish(labels, 0, False, [n_edges, 0])
     # leaf-reset BEFORE iterating: without it every round's logical plan
     # embeds compounding copies of the whole upstream pair pipeline (the
     # cache shortcuts execution but not plan analysis) — the analysis tree,

@@ -24,9 +24,12 @@ def test_components_label_by_min_member(spark, graph):
     dedup.release_caches()
 
 
-def test_components_converge_on_long_chain(spark):
+def test_components_converge_on_long_chain(spark, monkeypatch):
     """A 64-node chain has diameter 63 — pointer jumping must converge in
-    O(log diameter) rounds (~8), nowhere near the naive ~diameter count."""
+    O(log diameter) rounds (~8), nowhere near the naive ~diameter count.
+    (UF_BREAK_MAX=0 so the driver union-find doesn't close the tiny graph
+    before the distributed rounds run.)"""
+    monkeypatch.setattr(dedup, "UF_BREAK_MAX", 0)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "doc_a long, doc_b long")
     got = dedup.connected_components(chain, max_iters=12).collect()
@@ -47,9 +50,10 @@ def test_components_raise_instead_of_partial_labels(spark, monkeypatch):
 
 
 def test_long_chain_closed_by_driver_union_find(spark):
-    # same 30-node chain, default bounds: round-1 contraction leaves a
-    # residual quotient under UF_BREAK_MAX, the driver union-find closes
-    # it, and every node lands in the single min-labelled component
+    # same 30-node chain, default bounds: the symmetrized edge set is
+    # already under UF_BREAK_MAX, so the r7 EARLY driver union-find
+    # closes it with zero Spark rounds — every node still lands in the
+    # single min-labelled component
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "doc_a long, doc_b long")
     comps = dedup.connected_components(chain, max_iters=2)
@@ -143,9 +147,12 @@ def test_components_localcheckpoint_path_on_large_graph(spark):
     dedup.release_caches()
 
 
-def test_cc_stats_record_fastpath_and_rounds(spark):
+def test_cc_stats_record_fastpath_and_rounds(spark, monkeypatch):
     """CC_LAST_STATS observability: a clique converges on the round-1 fast
-    path; a long chain takes multiple rounds with a shrinking edge set."""
+    path; a long chain takes multiple rounds with a shrinking edge set.
+    (UF_BREAK_MAX=0: the distributed paths are what this test pins; small
+    graphs otherwise take the r7 early driver union-find.)"""
+    monkeypatch.setattr(dedup, "UF_BREAK_MAX", 0)
     clique = spark.createDataFrame(
         [(a, b) for a in range(6) for b in range(a + 1, 6)],
         "doc_a long, doc_b long")
@@ -162,4 +169,27 @@ def test_cc_stats_record_fastpath_and_rounds(spark):
     counts = st["edge_counts"]
     assert counts[0] == 126 and counts[-1] == 0
     assert all(b < a for a, b in zip(counts, counts[1:]))  # strictly shrinks
+    dedup.release_caches()
+
+
+def test_early_driver_uf_matches_distributed_labels(spark, monkeypatch):
+    """r7 early-path pin: on a mixed graph (chains + cliques + isolated
+    edges) the early driver union-find must produce EXACTLY the labels the
+    distributed contraction loop produces."""
+    edges = (
+        [(i, i + 1) for i in range(0, 20)]              # 21-node chain
+        + [(a, b) for a in range(100, 106)
+           for b in range(a + 1, 106)]                  # 6-clique
+        + [(200, 201), (300, 350)]                      # isolated edges
+    )
+    g = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    early = {(r.doc_id, r.component_id)
+             for r in dedup.connected_components(g).collect()}
+    assert dedup.CC_LAST_STATS["rounds"] == 0
+    assert dedup.CC_LAST_STATS["driver_uf_edges"] == 2 * len(edges)
+    dedup.release_caches()
+    monkeypatch.setattr(dedup, "UF_BREAK_MAX", 0)
+    dist = {(r.doc_id, r.component_id)
+            for r in dedup.connected_components(g).collect()}
+    assert early == dist
     dedup.release_caches()
