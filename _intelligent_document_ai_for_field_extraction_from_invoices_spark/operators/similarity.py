@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from .dedup import _bq, register_cache, release_caches  # shared registry
 
@@ -217,7 +218,8 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                           num_centroids: int | None = None, key: str = "vec_id",
                           vec_col: str = "embedding",
                           n_hint: int | None = None,
-                          assign: DataFrame | None = None) -> DataFrame:
+                          assign: DataFrame | None = None,
+                          pair_engine: str = "auto") -> DataFrame:
     """Embedding-cosine near-duplicate pairs, IVF-bucketed: vectors are
     assigned to their nearest centroid once, and only same-bucket pairs are
     scored — the self-join touches ~1/C^2 of the full cross product per
@@ -277,6 +279,23 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     unit = _unit_vectors(emb, key, vec_col)
     tagged = unit.join(assign.select(key, "centroid_id"), key)
     tagged = register_cache(tagged.cache())
+    if pair_engine == "auto":
+        # grouped pair generation materializes one IVF bucket per Arrow
+        # group, so it is only safe when every bucket is bounded — ONE
+        # tiny count aggregate over the (cached) assignment answers that
+        # exactly. The IVF sizing rule targets ~250 vectors/bucket, so
+        # the grouped tier is the common case; a skewed corpus whose
+        # hottest bucket exceeds the bound falls back to the streaming
+        # self-join, which buffers nothing.
+        row = (tagged.groupBy("centroid_id").count()
+               .agg(F.max("count").alias("mx")).first())
+        pair_engine = "grouped" if (row.mx or 0) <= 4096 else "join"
+    if pair_engine == "grouped":
+        return _grouped_pair_cosines(
+            tagged.select(F.col(key).alias("k"), "uvec", "centroid_id"),
+            ["centroid_id"], threshold, dedup_pairs=False)
+    if pair_engine != "join":
+        raise ValueError(f"unknown pair_engine: {pair_engine!r}")
     a = tagged.select(F.col(key).alias("vec_a"),
                       F.col("uvec").alias("ua"), "centroid_id")
     b = tagged.select(F.col(key).alias("vec_b"),
@@ -414,19 +433,96 @@ def _plane_matrix(num_planes: int, dim: int):
                      for p in range(num_planes)], dtype=np.float64)
 
 
-def _corpus_dim(emb: DataFrame, vec_col: str) -> tuple[int, int]:
-    """(min, max) vector size over the corpus — ONE exact narrow
-    aggregate, not a sample (review finding: a limit(100) sample is
+def _corpus_dim(emb: DataFrame, vec_col: str) -> tuple[int, int, int]:
+    """(min, max, count) vector size stats over the corpus — ONE exact
+    narrow aggregate, not a sample (review finding: a limit(100) sample is
     partition-order dependent, so a mixed-dim corpus derived a different
     dim on different runs and silently truncated the longer vectors).
     The scan reads only array lengths and runs once per call; the
-    operator is multi-pass anyway."""
+    operator is multi-pass anyway. The row count rides along for free and
+    drives the pair-engine density dial (r7)."""
     row = emb.agg(F.min(F.size(_bq(vec_col))).alias("lo"),
-                  F.max(F.size(_bq(vec_col))).alias("hi")).first()
+                  F.max(F.size(_bq(vec_col))).alias("hi"),
+                  F.count("*").alias("n")).first()
     if row is None or row.hi is None or row.hi <= 0:
         raise ValueError("cannot derive embedding dim: empty corpus or "
                          f"null/empty {vec_col!r} everywhere")
-    return row.lo, row.hi
+    return row.lo, row.hi, row.n
+
+
+def _grouped_pair_cosines(tagged: DataFrame, group_cols: list[str],
+                          threshold: float,
+                          dedup_pairs: bool = True) -> DataFrame:
+    """In-bucket candidate pairs + exact-cosine verify as ONE grouped
+    Arrow stage (r7 optimization): per (bucket) group of unit vectors,
+    emit every id-ordered pair with its raw dot product, then round /
+    threshold-filter / cross-band dedup in Spark.
+
+    Replaces collect_list -> nested-transform pair explode -> distinct ->
+    two uvec joins -> per-pair `aggregate(zip_with(...))` fold — every
+    step of which is interpreted (higher-order functions have no codegen)
+    — with one NumPy pass per bucket. BIT-IDENTICAL results, argued and
+    test-pinned: the accumulation loops over vector components j in
+    ascending order (`acc += u_a[j] * u_b[j]` across the whole bucket at
+    once), which is the exact left-associative IEEE sequence the JVM fold
+    `((0.0 + a0*b0) + a1*b1) + ...` evaluates, products included; rounding
+    to 6 dp stays in Spark (F.round = HALF_UP; numpy rounds half-even).
+    Pairs whose vectors differ in length emit nothing — the JVM fold
+    NULL-poisons those dots and the threshold filter drops them, so the
+    output sets match on mixed-dim corpora too.
+
+    Scale guard: callers only route here when every group is bounded
+    (hyperplane buckets are `_cap_hot_keys`-capped; the IVF caller checks
+    its max bucket size first), because applyInPandas materializes one
+    group per call. `tagged` must carry (group_cols..., k, uvec)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.types import DoubleType  # noqa: PLC0415
+
+    kt = tagged.schema["k"].dataType
+    out_schema = StructType([StructField("vec_a", kt),
+                             StructField("vec_b", kt),
+                             StructField("_dot", DoubleType())])
+
+    def _pairs(pdf):
+        import numpy as np  # noqa: PLC0415
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "_dot": []})
+        pdf = pdf.sort_values("k", kind="mergesort")
+        ks = pdf["k"].tolist()
+        vs = pdf["uvec"].tolist()
+        bylen: dict = {}
+        for i, v in enumerate(vs):
+            bylen.setdefault(len(v), []).append(i)
+        ka: list = []
+        kb: list = []
+        dots: list = []
+        for idxs in bylen.values():
+            m = len(idxs)
+            if m < 2:
+                continue
+            mat = np.asarray([vs[i] for i in idxs], dtype=np.float64)
+            acc = np.zeros((m, m), dtype=np.float64)
+            for j in range(mat.shape[1]):
+                col = mat[:, j]
+                acc += np.multiply.outer(col, col)
+            iu, ju = np.triu_indices(m, k=1)
+            karr = [ks[i] for i in idxs]
+            ka.extend(karr[i] for i in iu)
+            kb.extend(karr[j] for j in ju)
+            dots.extend(acc[iu, ju])
+        return pd.DataFrame({"vec_a": ka, "vec_b": kb, "_dot": dots})
+
+    raw = tagged.groupBy(*group_cols).applyInPandas(_pairs, out_schema)
+    out = (
+        raw.select("vec_a", "vec_b",
+                   F.round(F.col("_dot"), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    # multi-bucket schemes (banded LSH) see the same pair in several
+    # buckets — its dot is bit-identical each time, so a plain distinct
+    # dedups exactly; single-membership schemes (IVF) skip the shuffle
+    return out.distinct() if dedup_pairs else out
 
 
 def hyperplane_banded_buckets(emb: DataFrame, num_planes: int, bands: int,
@@ -514,7 +610,8 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.40,
                          dim: int | None = None, key: str = "vec_id",
                          vec_col: str = "embedding",
                          max_bucket: int = 256,
-                         engine: str = "auto") -> DataFrame:
+                         engine: str = "auto",
+                         pair_engine: str = "auto") -> DataFrame:
     """Embedding near-dup pairs via banded random-hyperplane LSH: vectors
     colliding in any band of their sign-projection signature become
     candidates; candidates are verified by exact cosine >= threshold.
@@ -543,7 +640,7 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.40,
     on the matmul tier, which has no compile wall."""
     from .dedup import _cap_hot_keys  # noqa: PLC0415
 
-    lo, hi = _corpus_dim(emb, vec_col)
+    lo, hi, n = _corpus_dim(emb, vec_col)
     if dim is None:
         if lo != hi:
             raise ValueError(
@@ -558,6 +655,26 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.40,
     banded = hyperplane_banded_buckets(emb, num_planes, bands, dim,
                                        key, vec_col, engine=engine)
     capped = _cap_hot_keys(banded, ["band", "bucket"], max_bucket)
+    unit = register_cache(_unit_vectors(emb, key, vec_col).cache())
+    # pair-engine density dial (r7): with B = 2^(planes/bands) buckets
+    # per band, the expected bucket holds n/B vectors. DENSE buckets
+    # (n/B >= 8) mean many pairs per vector — the grouped Arrow stage
+    # (_grouped_pair_cosines) moves each unit vector once per band and
+    # replaces the interpreted collect_list/nested-transform explode +
+    # distinct + two joins + per-pair fold with one NumPy pass per
+    # bucket (bit-identical; group size bounded by max_bucket). SPARSE
+    # buckets (e.g. 64-plane/16-bit bands at 10^4-10^5 vectors) mean
+    # candidates are rare — shuffling every vector per band would dwarf
+    # the tiny pair set, so the id-only candidate join stays cheaper.
+    rpb = num_planes // bands
+    if pair_engine == "auto":
+        pair_engine = "grouped" if n >= (1 << rpb) * 8 else "join"
+    if pair_engine == "grouped":
+        tagged = capped.join(unit.withColumnRenamed(key, "k"), "k") \
+            if key != "k" else capped.join(unit, "k")
+        return _grouped_pair_cosines(tagged, ["band", "bucket"], threshold)
+    if pair_engine != "join":
+        raise ValueError(f"unknown pair_engine: {pair_engine!r}")
     buckets = (
         capped.groupBy("band", "bucket")
         .agg(F.collect_list("k").alias("ks"))
@@ -572,7 +689,6 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.40,
             ),
         ))).alias("p")
     ).select("p.vec_a", "p.vec_b").distinct()
-    unit = register_cache(_unit_vectors(emb, key, vec_col).cache())
     # cached: joined on both pair sides
     return (
         cand.join(unit.select(F.col(key).alias("vec_a"),

@@ -308,3 +308,45 @@ def test_hyperplane_mixed_dim_corpus_policy(spark):
         emb, dim=3, threshold=0.99).collect()}
     assert got == {(2, 3)}  # identical full-dim pair; short vector survives
     similarity.release_caches()
+
+
+def test_pair_engines_bit_identical(spark):
+    """r7 pin: the grouped Arrow pair stage must emit EXACTLY the join
+    path's (vec_a, vec_b, cos_sim) rows — the NumPy accumulation replays
+    the JVM fold's left-associative IEEE sequence, so even the 6-dp
+    rounding boundaries cannot diverge. Pinned for both bucketing
+    families (banded hyperplane LSH and IVF), on a corpus with mixed
+    dims so the NULL-poisoned-pair drop semantics match too."""
+    import random
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
+        dedup, similarity,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i % 3 == 0:  # near-dup partner
+            rows.append((1000 + i,
+                         [x + rng.uniform(-0.05, 0.05) for x in base]))
+    rows.append((5000, [1.0, 2.0]))  # short vector: mixed-dim corpus
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(fn, pe):
+        got = sorted((r.vec_a, r.vec_b, r.cos_sim) for r in fn(pe).collect())
+        dedup.release_caches()
+        return got
+
+    hp_join = run(lambda pe: similarity.hyperplane_lsh_pairs(
+        emb, threshold=0.30, dim=8, pair_engine=pe), "join")
+    hp_grp = run(lambda pe: similarity.hyperplane_lsh_pairs(
+        emb, threshold=0.30, dim=8, pair_engine=pe), "grouped")
+    assert hp_join == hp_grp and len(hp_join) > 0
+
+    ivf_join = run(lambda pe: similarity.cosine_near_dup_pairs(
+        emb, threshold=0.30, pair_engine=pe), "join")
+    ivf_grp = run(lambda pe: similarity.cosine_near_dup_pairs(
+        emb, threshold=0.30, pair_engine=pe), "grouped")
+    assert ivf_join == ivf_grp and len(ivf_join) > 0
