@@ -540,14 +540,25 @@ def q1_pricing_summary(spark, sf_dir):
 
 
 def q3_top_orders(spark, sf_dir):
-    """Join + agg + top-k (TakeOrderedAndProject, no full sort)."""
+    """Join + agg + top-k (TakeOrderedAndProject, no full sort).
+
+    r7: lineitem pre-aggregates by l_orderkey BEFORE the join (guide
+    §2.3 "aggregate before you shuffle"): the join then matches 1:1 on
+    the orders key instead of carrying every line row through it, and
+    only the key column of orders is read at all. Same revenue per key —
+    the o_orderkey group IS the l_orderkey group (orders.o_orderkey is
+    unique), so group membership and the rounded sum are unchanged."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey")
+    rev = (
+        li.groupBy("l_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))
+    )
+    return (
+        rev.join(orders.select("o_orderkey"),
+                 rev.l_orderkey == F.col("o_orderkey"))
+        .select("o_orderkey", "revenue")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -571,17 +582,26 @@ def q_region_customer_stats(spark, sf_dir):
 
 def q_order_line_argmax(spark, sf_dir):
     """Best-candidate argmax with explicit tie-break (SURVEY A1 —
-    ref extractor.py:310-312 first-wins semantics)."""
+    ref extractor.py:310-312 first-wins semantics).
+
+    r7: one max_by AGGREGATE instead of a row_number window — the window
+    shuffled every line row and sorted each order's partition by
+    (price desc, linenumber); the aggregate partial-combines map-side so
+    the shuffle carries one row per order. max over the
+    (price, -linenumber) struct picks exactly the rn=1 row: highest
+    price, then lowest linenumber (the same tie-break, and linenumber is
+    unique within an order, so the winner is total-ordered)."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    best = F.max_by(
+        F.struct("l_linenumber", "l_extendedprice"),
+        F.struct(F.col("l_extendedprice").alias("p"),
+                 (-F.col("l_linenumber")).alias("nl")),
     )
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        li.groupBy("l_orderkey").agg(best.alias("b"))
         .select(
-            "l_orderkey", "l_linenumber",
-            F.round("l_extendedprice", 2).alias("best_price"),
+            "l_orderkey", F.col("b.l_linenumber").alias("l_linenumber"),
+            F.round("b.l_extendedprice", 2).alias("best_price"),
         )
     )
 
