@@ -390,6 +390,14 @@ def perplexity_buckets(df: DataFrame, key: str = "doc_id",
                          f"(0, 1], got {sample_rate}")
     scored = bigram_logprob_score(df, key=key, text_col=text_col,
                                   top_k=top_k)
+    # scored feeds BOTH the tercile-cutoff aggregate and the final
+    # bucketed projection — uncached, the whole two-pass LM scoring
+    # pipeline (gram explode, LM build, broadcast lookup) would run
+    # twice (r7 optimization). One row per doc, released via
+    # dedup.release_caches().
+    from .dedup import register_cache  # noqa: PLC0415
+
+    scored = register_cache(scored.cache())
     sample = scored.filter(F.col("avg_nll").isNotNull())
     if sample_rate < 1.0:
         from .sampling import _U32_SPAN, _u32  # noqa: PLC0415
