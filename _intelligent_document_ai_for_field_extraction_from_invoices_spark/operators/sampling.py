@@ -205,11 +205,12 @@ def hashed_ngram_importance(docs: DataFrame, target: DataFrame,
     transcendentals. Empty docs report n_grams=0 and NULL score (same
     convention as bigram_logprob_score's avg_nll).
 
-    Scale shape: ONE raw gram-stream pass (the stream collapses to
-    per-(doc, bucket) counts behind a (k, b) exchange that both the
-    count aggregate and the scoring aggregate consume via
-    ReusedExchange — no cache, no second explode+hash pass) plus one
-    target pass. Both global count aggregates have a key domain
+    Scale shape: two raw gram-stream passes (histogram + scoring — the
+    stream is a narrow, cheap-to-recompute projection; caching IT would
+    cost corpus-scale memory) plus one target pass; the num_buckets-
+    bounded histograms are cached so their totals and the log-ratio
+    table do not re-run the stream. Both count aggregates have a key
+    domain
     BOUNDED by num_buckets (map-side partial combine collapses each task
     to <= num_buckets rows, so the shuffle is tiny regardless of corpus
     size); the log-ratio table (<= num_buckets rows) and the two 1-row
@@ -251,18 +252,20 @@ def hashed_ngram_importance(docs: DataFrame, target: DataFrame,
             F.explode(F.concat(words, word_ngrams(words, 2))).alias("g"),
         ).select("k", _bucket_of(F.col("g")).alias("b"))
 
-    # ONE raw-corpus gram pass shared by the count aggregate and the
-    # scoring aggregate: collapsing the stream to per-(doc, bucket)
-    # counts behind a single (k, b) exchange lets Spark's ReusedExchange
-    # serve both consumers from the same shuffle files, so the
-    # explode+hash pipeline runs once instead of twice (r7 optimization;
-    # the per-(k, b) rows are bounded by min(n_grams, num_buckets) per
-    # doc, so the exchange carries fixed-width rows no wider than the
-    # old per-occurrence stream's partial-agg output)
-    raw_kb = (_buckets(docs).groupBy("k", "b")
-              .agg(F.count("*").alias("_c")))
-    cr = raw_kb.groupBy("b").agg(F.sum("_c").alias("_nr"))
-    ct = _buckets(target).groupBy("b").agg(F.count("*").alias("_nt"))
+    # The bucket HISTOGRAMS are cached (r7 optimization): cr feeds the
+    # log-ratio table AND its own total (tot_r), ct likewise — uncached,
+    # each re-ran the whole explode+hash gram pass, so the raw stream
+    # was produced three times and the target stream twice. Both tables
+    # are bounded by num_buckets rows (never corpus-scale), so the cache
+    # is scale-safe by construction; released via release_caches().
+    from .dedup import register_cache  # noqa: PLC0415
+
+    raw_b = _buckets(docs)
+    cr = register_cache(
+        raw_b.groupBy("b").agg(F.count("*").alias("_nr")).cache())
+    ct = register_cache(
+        _buckets(target).groupBy("b").agg(F.count("*").alias("_nt"))
+        .cache())
     # totals get distinct names (_tnr/_tnt): Spark resolves identifiers
     # case-insensitively, so e.g. _NR would collide with _nr post-join
     tot_r = cr.agg(F.sum("_nr").alias("_tnr"))
@@ -280,15 +283,13 @@ def hashed_ngram_importance(docs: DataFrame, target: DataFrame,
              ).alias("_lr_micro"),
         )
     )
-    # every bucket in raw_kb exists in lr (lr is keyed by cr's buckets),
-    # so this inner broadcast join drops nothing; n_grams/_s re-expand
-    # the per-(doc, bucket) counts exactly (sum(c) == count of gram
-    # occurrences, sum(c * lr) == sum of per-occurrence log-ratios)
+    # every bucket in raw_b exists in lr (lr is keyed by cr's buckets),
+    # so this inner broadcast join drops nothing
     scored = (
-        raw_kb.join(F.broadcast(lr), "b")
+        raw_b.join(F.broadcast(lr), "b")
         .groupBy("k")
-        .agg(F.sum("_c").alias("n_grams"),
-             F.sum(F.col("_c") * F.col("_lr_micro")).alias("_s"))
+        .agg(F.count("*").alias("n_grams"),
+             F.sum("_lr_micro").alias("_s"))
     )
     return (
         docs.select(F.col(key).alias("k")).join(scored, "k", "left")
