@@ -479,25 +479,25 @@ def ngram_repetition_fracs(df: DataFrame, key: str = "doc_id",
     LARGEST gram (one max-of-struct aggregate — no window over the
     corpus; the oracle replays it as QUALIFY row_number).
 
-    Scale shape: ONE exploded stream carries all n-gram sizes (each gram
-    tagged with its n), so the corpus shuffles once into the
-    map-side-combined (key, n, gram) counts; the per-(key, n) argmax is
-    a second small aggregate over one row per distinct gram; the pivot
-    is over the STATIC n list (no pivot-value inference job). All gram
-    arrays come from the HOF-safe word_ngrams chain."""
+    Scale shape: one narrow explode pass per n, UNIONED into the single
+    map-side-combined (key, n, gram) count shuffle — the union re-scans
+    the (narrow, projection-only) doc text once per n but keeps every
+    per-element step in codegen; the earlier one-stream formulation
+    tagged each gram with an interpreted struct-building transform that
+    cost more than the extra scans (r7 measurement: 1.8 s vs 2.6 s at
+    sf1). Shuffle volume is identical (the same gram multiset feeds one
+    aggregate). The per-(key, n) argmax is a second small aggregate over
+    one row per distinct gram; the pivot is over the STATIC n list (no
+    pivot-value inference job). All gram arrays come from the HOF-safe
+    word_ngrams chain."""
     t = F.col(text_col)
     words = F.split(F.trim(t), WS_RUN)
 
-    # closure factory, NOT a `lambda g, n=n:` default — a two-argument
-    # lambda makes F.transform pass the ELEMENT INDEX as the second
-    # argument, silently clobbering the tag
-    def _tag(n: int):
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
-
-    tagged = F.flatten(F.array(*[
-        F.transform(word_ngrams(words, n), _tag(n)) for n in ns]))
-    occ = (df.select(F.col(key), F.explode(tagged).alias("p"))
-           .select(key, F.col("p.n").alias("n"), F.col("p.g").alias("g")))
+    occ = None
+    for n in ns:
+        part = df.select(F.col(key), F.lit(n).alias("n"),
+                         F.explode(word_ngrams(words, n)).alias("g"))
+        occ = part if occ is None else occ.unionByName(part)
     per = occ.groupBy(key, "n", "g").agg(F.count("*").alias("c"))
     top = (per.groupBy(key, "n")
            .agg(F.max(F.struct("c", "g")).alias("t"))
