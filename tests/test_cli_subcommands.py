@@ -447,10 +447,15 @@ def test_cc_emits_contraction_stats(spark, tmp_path, capsys):
     out = _run(capsys, "cc", "--input", SF_DIR,
                "--output", str(tmp_path / "cat"), "--run-id", "t1")
     st = out["cc_stats"]
-    assert st["rounds"] >= 1
-    # edge_counts covers the CONTRACTION rounds only (epilogue jump
-    # rounds touch no edges); +1 for the initial count
-    assert 2 <= len(st["edge_counts"]) <= st["rounds"] + 1
+    # r7: a gate-scale edge set fits the EARLY driver union-find
+    # (rounds=0, driver_uf_edges recorded, edge_counts [n, 0]); larger
+    # graphs report contraction rounds with a shrinking edge count
+    if st["rounds"] == 0:
+        assert st.get("driver_uf_edges", 0) > 0
+    else:
+        # edge_counts covers the CONTRACTION rounds only (epilogue jump
+        # rounds touch no edges); +1 for the initial count
+        assert 2 <= len(st["edge_counts"]) <= st["rounds"] + 1
     assert st["edge_counts"][0] > 0 and st["edge_counts"][-1] == 0
 
 
