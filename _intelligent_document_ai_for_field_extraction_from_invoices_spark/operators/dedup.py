@@ -463,11 +463,77 @@ def _perm_hash_sql(p: int, hash_fn: str) -> str:
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
+def _minhash_signatures_pandas(df: DataFrame, key: str, text_col: str,
+                               num_perms: int, shingle_n: int) -> DataFrame:
+    """Arrow-batched twin of the md5 SQL tier (r7 optimization): one
+    mapInPandas pass computes each doc's permutation mins directly —
+    hashlib's C md5 over the shingle stream replaces the interpreted
+    zip_with/transform chain AND the explode + 16-min-aggregate shuffle
+    (the signature never leaves the row). EXACTLY the SQL tier's bytes:
+    trim strips 0x20 only, the split keeps leading/trailing empties
+    (Java split limit=-1 == re.split), shingles join on single spaces,
+    digests/permutation hashes are md5 hex, mins compare the 8-hex-char
+    slices lexicographically (== numeric for fixed-width hex), and docs
+    with fewer than shingle_n words emit no row. Pure integer/string
+    ops — no float to drift — pinned equal to the SQL tier by
+    tests/test_dedup.py::test_minhash_signature_engines_identical."""
+    import re  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    # WS_RUN's escapes (\t \n \f \r \x0B) mean the same bytes in Python
+    # re as in Java regex, so the pattern is shared verbatim
+    ws_re = re.compile(WS_RUN)
+    kt = df.schema[key].dataType.simpleString()
+    groups = (num_perms + 3) // 4
+    slots = [(p // 4, (p % 4) * 8) for p in range(num_perms)]
+
+    def run(batches):
+        from hashlib import md5  # noqa: PLC0415
+
+        for pdf in batches:
+            ks, sigs = [], []
+            for k_, text in zip(pdf["k"], pdf["t"]):
+                if text is None:
+                    continue
+                parts = ws_re.split(text.strip(" "))
+                if len(parts) < shingle_n:
+                    continue
+                mins = [None] * num_perms
+                seen = set()
+                for i in range(len(parts) - shingle_n + 1):
+                    g = " ".join(parts[i:i + shingle_n])
+                    if g in seen:
+                        continue
+                    seen.add(g)
+                    d = md5(g.encode()).hexdigest()
+                    hs = [md5(f"{d},{gi}".encode()).hexdigest()
+                          for gi in range(groups)]
+                    for p, (gi, off) in enumerate(slots):
+                        s = hs[gi][off:off + 8]
+                        if mins[p] is None or s < mins[p]:
+                            mins[p] = s
+                ks.append(k_)
+                sigs.append(mins)
+            # object dtype both columns: an all-dropped batch would
+            # otherwise default to float64 Series, which Arrow cannot
+            # cast to the declared long/array<string> schema
+            yield pd.DataFrame({"k": pd.Series(ks, dtype="object"),
+                                "signature": pd.Series(sigs,
+                                                       dtype="object")})
+
+    out = df.select(F.col(_bq(key)).alias("k"),
+                    F.col(_bq(text_col)).alias("t")) \
+        .mapInPandas(run, schema=f"k {kt}, signature array<string>")
+    return out.withColumnRenamed("k", key)
+
+
 def minhash_signatures(df: DataFrame, key: str = "doc_id",
                        text_col: str = "text",
                        num_perms: int = MINHASH_PERMS,
                        shingle_n: int = 3,
-                       hash_fn: str = "md5") -> DataFrame:
+                       hash_fn: str = "md5",
+                       engine: str = "auto") -> DataFrame:
     """MinHash signature per doc: min over n-word shingles of
     perm_hash(shingle, seed_p) for each of `num_perms` seeded permutations —
     all native exprs. Shingles (not unigrams) are the hashed features:
@@ -477,7 +543,23 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id",
     Plan shape: explode distinct shingles -> one min-aggregate per
     permutation. The per-perm aggregates combine map-side (partial agg), so
     the shuffle carries num_perms values per DOC — a posexplode formulation
-    would shuffle num_perms hashed rows per SHINGLE, ~16x the data."""
+    would shuffle num_perms hashed rows per SHINGLE, ~16x the data.
+
+    `engine`: "sql" = the native-expression tier above (the only tier for
+    hash_fn="xxhash64" — Python has no exact xxhash64 twin); "pandas" =
+    one Arrow-batched pass computing the mins in-row via hashlib's C md5
+    (r7: no explode shuffle, no interpreted HOF chain — measured ~2x the
+    md5 tier's speed at sf1); "auto" picks pandas for md5. Both tiers are
+    byte-identical (string/integer ops only) and test-pinned."""
+    if engine == "auto":
+        engine = "pandas" if hash_fn == "md5" else "sql"
+    if engine == "pandas":
+        if hash_fn != "md5":
+            raise ValueError("pandas minhash tier requires hash_fn='md5'")
+        return _minhash_signatures_pandas(df, key, text_col, num_perms,
+                                          shingle_n)
+    if engine != "sql":
+        raise ValueError(f"unknown minhash engine: {engine!r}")
     toks = df.filter(
         F.size(F.split(F.trim(F.col(_bq(text_col))), WS_RUN)) >= shingle_n
     ).select(

@@ -496,7 +496,11 @@ def _grouped_pair_cosines(tagged: DataFrame, group_cols: list[str],
         import numpy as np  # noqa: PLC0415
 
         if len(pdf) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "_dot": []})
+            # object dtype: empty float64 defaults do not cast to every
+            # key type (e.g. string keys) on the Arrow boundary
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="object"),
+                                 "vec_b": pd.Series([], dtype="object"),
+                                 "_dot": pd.Series([], dtype="float64")})
         pdf = pdf.sort_values("k", kind="mergesort")
         ks = pdf["k"].tolist()
         vs = pdf["uvec"].tolist()

@@ -388,3 +388,27 @@ def test_url_blocklist_suffix_semantics(spark):
     assert out[6].blocked and out[6].blocked_domain == "example.com"
     with pytest.raises(ValueError):
         dedup.url_blocklist_flags(docs, [])
+
+
+def test_minhash_signature_engines_identical(spark):
+    """r7 pin: the Arrow-batched minhash tier must emit byte-identical
+    signatures to the native-expression tier — including whitespace
+    edges (tabs/newlines/vertical tab, leading separators, unicode
+    words) and the fewer-than-n-words row-drop."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "\talpha  beta\ngamma\x0bdelta"),
+        (3, "  one two  "),            # < 3 words after trim/split
+        (4, ""),
+        (5, None),
+        (6, "अल्फा बीटा गामा अल्फा बीटा गामा"),
+        (7, "a b c d e f g h i j k l m n o p"),
+        (8, "a b c a b c a b c"),       # repeated shingles dedup
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sql_rows = sorted((r.doc_id, tuple(r.signature)) for r in
+                      dedup.minhash_signatures(d, engine="sql").collect())
+    pd_rows = sorted((r.doc_id, tuple(r.signature)) for r in
+                     dedup.minhash_signatures(d, engine="pandas").collect())
+    assert sql_rows == pd_rows
+    assert {k for k, _ in sql_rows} == {1, 2, 6, 7, 8}
