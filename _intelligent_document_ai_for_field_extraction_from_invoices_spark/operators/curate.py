@@ -125,12 +125,17 @@ def quality_filter(docs: DataFrame, key: str = "doc_id",
     clears `min_quality` AND whose duplicate-line fraction stays under
     `max_dup_line_frac`. Returns the survivors WITH their quality_score
     and dup_line_frac columns attached (downstream mixers weight by
-    them)."""
+    them).
+
+    r7: dup_line_frac is a pure narrow projection
+    (textstats.dup_line_frac_col), so the gate is ONE projection + ONE
+    filter — the old shape ran the whole repetition_stats bigram
+    pipeline (explode, two aggregates, a join) just to read this
+    column."""
     scored = textstats.with_quality_score(docs, text_col=text_col)
-    rep = textstats.repetition_stats(docs, key=key, text_col=text_col) \
-        .select(_bq(key), "dup_line_frac")
     return (
-        scored.join(rep, key)
+        scored.withColumn("dup_line_frac",
+                          textstats.dup_line_frac_col(F.col(_bq(text_col))))
         .filter((F.col("quality_score") >= min_quality)
                 & (F.col("dup_line_frac") <= max_dup_line_frac))
     )
@@ -222,10 +227,9 @@ def curate_survivors(docs: DataFrame, benchmark: DataFrame,
     ran_quality = "quality" in todo
     if not ran_quality:
         # the output contract always carries the quality columns
-        scored = textstats.with_quality_score(cur, text_col=text_col)
-        rep = textstats.repetition_stats(cur, key=key, text_col=text_col) \
-            .select(_bq(key), "dup_line_frac")
-        cur = scored.join(rep, key)
+        cur = textstats.with_quality_score(cur, text_col=text_col) \
+            .withColumn("dup_line_frac",
+                        textstats.dup_line_frac_col(F.col(_bq(text_col))))
     if with_stats:
         CURATE_LAST_STATS.clear()
         CURATE_LAST_STATS.update(stage_counts=counts, stages=todo)

@@ -236,6 +236,17 @@ def bpe_token_counts(df: DataFrame, key: str = "doc_id",
     )
 
 
+def dup_line_frac_col(text: Column) -> Column:
+    """Duplicate-line fraction as ONE narrow projection (no explode, no
+    shuffle) — the Gopher dup_line signal shared by repetition_stats and
+    the curate quality gate (which needs ONLY this column and must not
+    pay the top-bigram machinery for it)."""
+    lines = F.split(text, "\n")
+    return F.round(
+        1 - F.size(F.array_distinct(lines))
+        / F.greatest(F.size(lines), F.lit(1)), 4)
+
+
 def repetition_stats(df: DataFrame, key: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
@@ -251,13 +262,9 @@ def repetition_stats(df: DataFrame, key: str = "doc_id",
     aggregate — no window, deterministic tie-break (count, then gram,
     lexicographically largest wins), reproducible in ANSI SQL."""
     t = F.col(text_col)
-    lines = F.split(t, "\n")
     base = df.select(
         F.col(key),
-        F.round(
-            1 - F.size(F.array_distinct(lines))
-            / F.greatest(F.size(lines), F.lit(1)), 4
-        ).alias("dup_line_frac"),
+        dup_line_frac_col(t).alias("dup_line_frac"),
         F.length(t).alias("n_chars_rep"),
     )
     words = F.split(F.trim(t), WS_RUN)
