@@ -132,7 +132,7 @@ def q_canonical_urls(spark, sf_dir):
     ports, tracking params, fragments, bare root slashes) and normalised by
     functions.text.canonical_url; the oracle builds the identical noisy URL
     in SQL and applies the generated canonical_url_sql chain."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     did = F.col("doc_id").cast("string")
     host = F.concat(F.lit("HTTPS://H"), (F.col("doc_id") % 16).cast("string"),
                     F.lit(".Example.COM"))
@@ -303,7 +303,7 @@ def q_url_blocklist(spark, sf_dir):
     dot-suffix matching is exercised (blocking h3.example.com also blocks
     www.h3.example.com); the oracle replays the host extraction, suffix
     explode, and min-domain provenance."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     www = (F.when(F.col("doc_id") % 2 == 0, F.lit("WWW."))
            .otherwise(F.lit("")))
     url = F.concat(F.lit("HTTPS://"), www, F.lit("H"),
@@ -398,7 +398,7 @@ def q_c4_line_filter(spark, sf_dir):
     line, a no-terminal-punct line (doc_id % 7), and a tail that is
     lorem-ipsum (% 13), a code brace (% 11), or clean. The oracle
     replays every predicate."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     did = F.col("doc_id").cast("string")
     line1 = F.concat(F.lit("Sentence number "), did,
                      F.lit(" is long enough to keep."))
@@ -675,7 +675,7 @@ def q_props_json(spark, sf_dir):
 def q_top_terms(spark, sf_dir):
     """Corpus term frequencies: explode tokens -> hash agg -> top 20
     (the TakeOrderedAndProject top-k path at explode scale)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return (
         d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
         .groupBy("term")
@@ -783,7 +783,7 @@ def _bpe_oracle_sql() -> str:
 
 
 def q_quality_scores(spark, sf_dir):
-    d = textstats.with_quality_score(_t(spark, sf_dir, "documents"))
+    d = textstats.with_quality_score(_docs_wide(spark, sf_dir))
     return d.select("doc_id", "stop_ratio", "punct_ratio", "quality_score")
 
 
