@@ -131,9 +131,59 @@ def _shingles(text_col: str, n: int):
     return F.transform(word_ngrams(words, n), F.md5)
 
 
+def _shingle_digest_stream_pandas(df: DataFrame, key: str | None,
+                                  text_col: str, n: int) -> DataFrame:
+    """(key, sh) stream of per-doc DISTINCT n-gram md5 digests — the
+    Arrow-batched twin of `explode(array_distinct(_shingles(...)))`
+    (r7 optimization): hashlib's C md5 over a plain Python shingle loop
+    replaces the interpreted zip_with/transform/array_distinct chain.
+    Byte-exact: trim strips 0x20 only, Java split limit=-1 == re.split,
+    single-space joins, docs with fewer than n words emit nothing, and
+    the per-doc distinct applies to the DIGESTS (exactly what
+    array_distinct saw). Pure string ops — pinned equal to the
+    expression tier by tests/test_dedup.py."""
+    import re  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    ws_re = re.compile(WS_RUN)
+    kt = df.schema[key].dataType.simpleString() if key is not None else None
+
+    def run(batches):
+        from hashlib import md5  # noqa: PLC0415
+
+        for pdf in batches:
+            ks, shs = [], []
+            for k_, text in zip(pdf["k"] if kt else pdf.index, pdf["t"]):
+                if text is None:
+                    continue
+                parts = ws_re.split(text.strip(" "))
+                if len(parts) < n:
+                    continue
+                seen = set()
+                for i in range(len(parts) - n + 1):
+                    d = md5(" ".join(parts[i:i + n]).encode()).hexdigest()
+                    if d not in seen:
+                        seen.add(d)
+                        ks.append(k_)
+                        shs.append(d)
+            out = {"sh": pd.Series(shs, dtype="object")}
+            if kt:
+                out = {"k": pd.Series(ks, dtype="object"), **out}
+            yield pd.DataFrame(out)
+
+    if key is None:
+        return df.select(F.col(_bq(text_col)).alias("t")) \
+            .mapInPandas(run, schema="sh string")
+    return df.select(F.col(_bq(key)).alias("k"),
+                     F.col(_bq(text_col)).alias("t")) \
+        .mapInPandas(run, schema=f"k {kt}, sh string")
+
+
 def shingle_pairs(df: DataFrame, key: str = "doc_id", text_col: str = "text",
                   n: int = 3, min_shared: int = 2,
-                  max_bucket: int = 64) -> DataFrame:
+                  max_bucket: int = 64,
+                  engine: str = "auto") -> DataFrame:
     """Candidate near-dup pairs sharing >= min_shared distinct n-gram shingles.
 
     Inverted index WITHOUT a self-join: after the hot-shingle cap, each
@@ -141,12 +191,29 @@ def shingle_pairs(df: DataFrame, key: str = "doc_id", text_col: str = "text",
     in-bucket from one `collect_list` (nested array transforms, native) —
     one full shuffle of the shingle stream instead of two join sides, and
     no reliance on caching the stream. The cap (`_cap_hot_keys`) is what
-    makes the collect_list safe: bucket size is bounded BEFORE buffering."""
-    ex = (
-        df.filter(F.size(F.split(F.trim(F.col(_bq(text_col))), WS_RUN)) >= n)
-        .select(F.col(_bq(key)).alias("k"),
-                F.explode(F.array_distinct(_shingles(text_col, n))).alias("sh"))
-    )
+    makes the collect_list safe: bucket size is bounded BEFORE buffering.
+
+    `engine`: "pandas" sources the digest stream from
+    `_shingle_digest_stream_pandas` (byte-exact); "sql" keeps the
+    native-expression stream. "auto" picks by chain depth: the
+    interpreted zip_with chain costs ~(n-1) array passes per doc, so
+    the Arrow twin pays off for long shingles (measured at sf1: n=8
+    contamination 1.9 -> 1.5 s warm, n=3 parity), while short shingles
+    keep the fully-native plan."""
+    if engine == "auto":
+        engine = "pandas" if n >= 5 else "sql"
+    if engine == "pandas":
+        ex = _shingle_digest_stream_pandas(df, key, text_col, n)
+    elif engine == "sql":
+        ex = (
+            df.filter(
+                F.size(F.split(F.trim(F.col(_bq(text_col))), WS_RUN)) >= n)
+            .select(F.col(_bq(key)).alias("k"),
+                    F.explode(F.array_distinct(_shingles(text_col, n)))
+                    .alias("sh"))
+        )
+    else:
+        raise ValueError(f"unknown shingle engine: {engine!r}")
     capped = _cap_hot_keys(ex, ["sh"], max_bucket)
     buckets = (
         capped.groupBy("sh").agg(F.collect_list("k").alias("ks"))
@@ -301,14 +368,12 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame,
     on the doc key) and the left join back to the doc list. Shingles are
     md5 digests shared with the near-dup family (_shingles), so the
     broadcast carries fixed-width hashes, not raw n-gram strings."""
-    def _sh_stream(df: DataFrame, col: str, *extra):
-        ok = F.size(F.split(F.trim(F.col(_bq(col))), WS_RUN)) >= n
-        return df.filter(ok).select(
-            *extra,
-            F.explode(F.array_distinct(_shingles(col, n))).alias("sh"))
-
-    doc_sh = _sh_stream(docs, text_col, F.col(_bq(key)).alias("k"))
-    bench_sh = _sh_stream(benchmark, bench_text_col).distinct()
+    # digest streams via the Arrow-batched twin (r7 — byte-exact, see
+    # _shingle_digest_stream_pandas); the bench side carries no key and
+    # dedups corpus-wide in Spark as before
+    doc_sh = _shingle_digest_stream_pandas(docs, key, text_col, n)
+    bench_sh = _shingle_digest_stream_pandas(
+        benchmark, None, bench_text_col, n).distinct()
     hits = (
         doc_sh.join(F.broadcast(bench_sh), "sh")
         .groupBy("k").agg(F.count("*").alias("n_contaminated"))

@@ -412,3 +412,26 @@ def test_minhash_signature_engines_identical(spark):
                      dedup.minhash_signatures(d, engine="pandas").collect())
     assert sql_rows == pd_rows
     assert {k for k, _ in sql_rows} == {1, 2, 6, 7, 8}
+
+
+def test_shingle_stream_engines_identical(spark):
+    """r7 pin: the Arrow-batched shingle digest stream must match the
+    native-expression stream exactly — per-doc distinct digests, the
+    fewer-than-n-words drop, and whitespace edges — for both the short
+    (n=3) and long (n=8) chain regimes."""
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "\tx  y\nz\x0bw q r s t u"),
+        (3, "one two"),
+        (4, ""),
+        (5, None),
+        (6, "rep rep rep rep rep rep rep rep rep rep"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (3, 8):
+        got = {}
+        for eng in ("sql", "pandas"):
+            pairs = dedup.shingle_pairs(d, n=n, min_shared=1, engine=eng)
+            got[eng] = sorted(tuple(r) for r in pairs.collect())
+            dedup.release_caches()
+        assert got["sql"] == got["pandas"], f"n={n}"
