@@ -547,15 +547,25 @@ def hyperplane_banded_buckets(emb: DataFrame, num_planes: int, bands: int,
       codegen expression — bit-deterministic cross-engine (the DuckDB
       oracle unrolls the identical sum), but with a JVM-parse/Janino
       compile wall at real embedding dims.
+    - "loop": the r7 default inside the SQL tier's term envelope — one
+      Arrow batch per task, accumulating the plane dots with a
+      j-ascending NumPy loop (`acc += v[:, j] * signs_j`, signs ±1.0)
+      that replays the unrolled SQL's left-associative IEEE sequence
+      EXACTLY (±1.0 multiplication is a sign flip; x + (-y) == x - y),
+      so its sign bits — and therefore every bucket — are BIT-IDENTICAL
+      to the sql tier (pinned by
+      tests/test_similarity_kmeans.py::test_hyperplane_sql_and_loop_tiers_identical)
+      at a fraction of the cost (the 2048-term projection was the
+      Janino-compile/interpretation hotspot).
     - "pandas": one batched NumPy sign(V @ P.T) matmul per Arrow batch —
       the scale tier for real dims (768+), same md5-parity plane matrix.
       Per-band buckets are packed directly from the sign bits, so 64-plane
       signatures never round-trip through a signed BIGINT.
 
-    "auto" picks by HYPERPLANE_SQL_TERM_LIMIT. The two tiers agree except
-    where a plane dot lands within float addition-order noise of exactly
-    0 (left-associative sum vs pairwise matmul) — measure-zero for real
-    embeddings; the oracle gate always runs the sql tier."""
+    "auto" picks "loop" within HYPERPLANE_SQL_TERM_LIMIT and "pandas"
+    past it. loop==sql exactly; pandas agrees except where a plane dot
+    lands within float addition-order noise of exactly 0 (left-assoc
+    sum vs pairwise matmul) — measure-zero for real embeddings."""
     rpb = num_planes // bands
     if rpb > 62:
         # per-band buckets pack into a signed BIGINT in both tiers
@@ -564,7 +574,7 @@ def hyperplane_banded_buckets(emb: DataFrame, num_planes: int, bands: int,
             "use more bands (or fewer planes)")
     mask = (1 << rpb) - 1
     if engine == "auto":
-        engine = ("sql" if num_planes * dim <= HYPERPLANE_SQL_TERM_LIMIT
+        engine = ("loop" if num_planes * dim <= HYPERPLANE_SQL_TERM_LIMIT
                   else "pandas")
     if engine == "sql":
         sig = signature_sql(
@@ -576,7 +586,7 @@ def hyperplane_banded_buckets(emb: DataFrame, num_planes: int, bands: int,
             f"posexplode(transform(sequence(0, {bands - 1}), "
             f"b -> shiftright(sig, b * {rpb}) & {mask})) AS (band, bucket)",
         ).select("k", "band", "bucket")
-    if engine != "pandas":
+    if engine not in ("pandas", "loop"):
         raise ValueError(f"unknown hyperplane engine: {engine!r}")
 
     import numpy as np  # noqa: PLC0415
@@ -585,6 +595,7 @@ def hyperplane_banded_buckets(emb: DataFrame, num_planes: int, bands: int,
 
     plane_t = _plane_matrix(num_planes, dim).T  # (dim, planes)
     weights = 1 << np.arange(rpb, dtype=np.int64)  # bit weights within a band
+    exact = engine == "loop"
 
     def _buckets(vs):
         # vectors arrive as ndarray/list cells; vectors shorter than the
@@ -597,7 +608,17 @@ def hyperplane_banded_buckets(emb: DataFrame, num_planes: int, bands: int,
             a = np.asarray(v, dtype=np.float64)
             n = min(a.shape[0], dim)
             mat[i, :n] = a[:n]
-        bits = (mat @ plane_t) >= 0.0  # (n, planes)
+        if exact:
+            # j-ascending accumulation == the unrolled SQL's
+            # left-associative sum, term for term (±1.0 products are
+            # exact sign flips; the zero-pad adds exact 0.0 like
+            # coalesce) — sign bits bit-identical to the sql tier
+            acc = np.zeros((mat.shape[0], num_planes), dtype=np.float64)
+            for j in range(dim):
+                acc += mat[:, j:j + 1] * plane_t[j]
+            bits = acc >= 0.0
+        else:
+            bits = (mat @ plane_t) >= 0.0  # (n, planes)
         cols = [bits[:, b * rpb:(b + 1) * rpb].astype(np.int64) @ weights
                 for b in range(bands)]
         # int64 end-to-end (ADVICE round-5: an int32 cast here silently

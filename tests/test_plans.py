@@ -139,20 +139,29 @@ def test_kmeans_training_plan_is_window_free(spark):
     assert "Window" not in plan
 
 
-def test_hyperplane_signatures_fully_native(spark):
-    """The unrolled ±element signature sums must stay JVM-side — no Python
-    eval node anywhere before the exact-cosine verify (which is also
-    native); and the banded self-bucketing must not be a cartesian."""
+def test_hyperplane_signatures_no_per_row_python_no_cartesian(spark):
+    """r7: the default signature tier is the vectorized Arrow "loop"
+    stage (bit-identical to the unrolled SQL sums — pinned separately);
+    the plan must contain exactly ONE vectorized Arrow eval for it,
+    never a row-at-a-time Python node, and the banded self-bucketing
+    must not be a cartesian. The sql tier stays fully JVM-side."""
+    import re
+
     from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import (
         dedup, similarity,
     )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     plan = _plan(similarity.hyperplane_lsh_pairs(emb, dim=64))
-    assert "ArrowEvalPython" not in plan
-    assert "BatchEvalPython" not in plan
-    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan   # no row-at-a-time Python
     assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)) <= 1
+    dedup.release_caches()
+    plan_sql = _plan(similarity.hyperplane_lsh_pairs(
+        emb, dim=64, engine="sql", pair_engine="join"))
+    assert "ArrowEvalPython" not in plan_sql
+    assert "BatchEvalPython" not in plan_sql
+    assert "MapInPandas" not in plan_sql
     dedup.release_caches()
 
 

@@ -350,3 +350,32 @@ def test_pair_engines_bit_identical(spark):
     ivf_grp = run(lambda pe: similarity.cosine_near_dup_pairs(
         emb, threshold=0.30, pair_engine=pe), "grouped")
     assert ivf_join == ivf_grp and len(ivf_join) > 0
+
+
+def test_hyperplane_sql_and_loop_tiers_identical(spark):
+    """r7 pin: the Arrow "loop" signature tier replays the unrolled SQL
+    sum's left-associative IEEE sequence exactly, so every (k, band,
+    bucket) row must be bit-identical to the sql tier — including
+    zero-padded short vectors and adversarial values that sit near
+    sign boundaries."""
+    import random
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import similarity
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(300):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, v))
+        if i % 7 == 0:
+            rows.append((10_000 + i, [-x for x in v]))   # mirrored signs
+    rows.append((50_000, [0.0] * 16))                    # exact-zero dots
+    rows.append((50_001, [1.0, -1.0] * 8))
+    rows.append((50_002, [0.5, 0.25]))                   # short: zero-pad
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {}
+    for eng in ("sql", "loop"):
+        b = similarity.hyperplane_banded_buckets(
+            emb, 32, 4, 16, "vec_id", "embedding", engine=eng)
+        got[eng] = sorted((r.k, r.band, r.bucket) for r in b.collect())
+    assert got["sql"] == got["loop"]
