@@ -193,23 +193,131 @@ def kmeans_centroids(emb: DataFrame, num_centroids: int = 8, iters: int = 2,
     return cents
 
 
+def _ivf_scores_arrow(emb: DataFrame, cent_rows, key: str,
+                      vec_col: str) -> DataFrame:
+    """(key, centroid_id, raw cosine) scored rows as ONE Arrow stage
+    (r7 optimization): the centroid table is C-bounded by construction,
+    so its rows ship in the task closure and each batch scores against
+    the whole bank with j-ascending NumPy accumulations that replay the
+    JVM `cosine_col` fold EXACTLY — dot and both norm folds are
+    left-associative over j, sqrt is IEEE-correctly-rounded in both
+    runtimes, and the denominator multiplies norms before the divide in
+    the same order. Length-mismatched (vector, centroid) pairs emit
+    NULL, replicating zip_with's null-pad poisoning. Rounding to 6 dp
+    stays in Spark (HALF_UP). Bit-equality with the expression tier is
+    pinned by tests/test_similarity_kmeans.py."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.types import DoubleType  # noqa: PLC0415
+
+    kt = emb.schema[key].dataType
+    out_t = StructType([StructField("k", kt),
+                        StructField("centroid_id", kt),
+                        StructField("_raw", DoubleType())])
+    cents = [(cid, [float(x) for x in cv]) for cid, cv in cent_rows]
+    cid_list = [cid for cid, _ in cents]
+    n_cents = len(cents)
+
+    def run(batches):
+        import numpy as np  # noqa: PLC0415
+
+        # per-dim centroid banks: positions in `cents` order, matrix,
+        # and each centroid's norm (one left-assoc fold per centroid —
+        # the same double the JVM fold yields per pair)
+        by_dim: dict = {}
+        for pos, (_cid, cv) in enumerate(cents):
+            by_dim.setdefault(len(cv), []).append(pos)
+        banks = {}
+        for dim, poss in by_dim.items():
+            mat_c = np.asarray([cents[p][1] for p in poss],
+                               dtype=np.float64)
+            accn = np.zeros(mat_c.shape[0], dtype=np.float64)
+            for j in range(dim):
+                accn += mat_c[:, j] * mat_c[:, j]
+            banks[dim] = (poss, mat_c, np.sqrt(accn))
+        for pdf in batches:
+            vs = pdf["v"].tolist()
+            karr = pdf["k"].tolist()
+            n = len(vs)
+            cos_full = np.zeros((n, n_cents), dtype=np.float64)
+            valid = np.zeros((n, n_cents), dtype=bool)
+            by_len: dict = {}
+            for i, v in enumerate(vs):
+                by_len.setdefault(len(v), []).append(i)
+            for dim, idxs in by_len.items():
+                if dim not in banks:
+                    continue  # length mismatch vs every centroid -> NULL
+                poss, mat_c, nc = banks[dim]
+                mat = np.asarray([vs[i] for i in idxs], dtype=np.float64)
+                dots = np.zeros((mat.shape[0], mat_c.shape[0]),
+                                dtype=np.float64)
+                accv = np.zeros(mat.shape[0], dtype=np.float64)
+                for j in range(dim):
+                    col = mat[:, j]
+                    dots += col[:, None] * mat_c[:, j]
+                    accv += col * col
+                denom = np.sqrt(accv)[:, None] * nc[None, :]
+                if np.any(denom == 0.0):
+                    # the expression tier raises DIVIDE_BY_ZERO under
+                    # ANSI mode on zero-norm vectors/centroids — fail
+                    # identically instead of silently emitting NaN
+                    raise ArithmeticError(
+                        "ivf_assign: division by zero in cosine scoring "
+                        "(zero-norm vector or centroid)")
+                cos = dots / denom
+                cos_full[np.ix_(idxs, poss)] = cos
+                valid[np.ix_(idxs, poss)] = True
+            ks = [k for k in karr for _ in range(n_cents)]
+            cids = [cid for _ in range(n) for cid in cid_list]
+            raws = [float(cos_full[i, c]) if valid[i, c] else None
+                    for i in range(n) for c in range(n_cents)]
+            yield pd.DataFrame({
+                "k": pd.Series(ks, dtype="object"),
+                "centroid_id": pd.Series(cids, dtype="object"),
+                "_raw": pd.Series(raws, dtype="object")})
+
+    return emb.select(F.col(_bq(key)).alias("k"),
+                      F.col(_bq(vec_col)).alias("v")) \
+        .mapInPandas(run, schema=out_t)
+
+
 def ivf_assign(emb: DataFrame, num_centroids: int = 8, key: str = "vec_id",
                vec_col: str = "embedding",
-               centroids: DataFrame | None = None) -> DataFrame:
+               centroids: DataFrame | None = None,
+               engine: str = "auto") -> DataFrame:
     """Assign each vector to its nearest centroid by cosine. Default
     centroids are the vectors with key < num_centroids (deterministic seed
     choice, reproducible in the ANSI oracles); pass `centroids` (e.g. from
     `kmeans_centroids`) for trained buckets at scale. Centroid table is
     broadcast; argmax via a `max_by` aggregate with explicit
     (sim desc, centroid_id asc) tie-break — partial-combines map-side, no
-    window sort (plan pinned Window/Sort-free in tests/test_plans.py)."""
+    window sort (plan pinned Window/Sort-free in tests/test_plans.py).
+
+    `engine`: "sql" = native expression scoring; "arrow" = one Arrow
+    stage computing the raw cosines with exact fold-order parity
+    (_ivf_scores_arrow; rounding and the argmax stay in Spark). "auto"
+    picks arrow for large seeded banks (C >= 32 — the n x C interpreted
+    fold chain dominates there; small banks and trained-centroid
+    DataFrames keep the native path, which also avoids collecting a
+    not-yet-materialized training plan)."""
     cents = centroids if centroids is not None else seed_centroids(
         emb, num_centroids, key, vec_col)
-    scored = emb.select(key, vec_col).join(F.broadcast(cents)).select(
-        key,
-        "centroid_id",
-        F.round(cosine_col(F.col(vec_col), F.col("cvec")), 6).alias("sim"),
-    )
+    if engine == "auto":
+        engine = ("arrow"
+                  if centroids is None and num_centroids >= 32 else "sql")
+    if engine == "arrow":
+        cent_rows = [(r[0], list(r[1])) for r in cents.collect()]
+        raw = _ivf_scores_arrow(emb, cent_rows, key, vec_col)
+        scored = raw.select(F.col("k").alias(key), "centroid_id",
+                            F.round(F.col("_raw"), 6).alias("sim"))
+    elif engine == "sql":
+        scored = emb.select(key, vec_col).join(F.broadcast(cents)).select(
+            key,
+            "centroid_id",
+            F.round(cosine_col(F.col(vec_col), F.col("cvec")), 6)
+            .alias("sim"),
+        )
+    else:
+        raise ValueError(f"unknown ivf_assign engine: {engine!r}")
     return _argmax_centroid(scored, key, []).select(
         key, "centroid_id", F.col("sim").alias("centroid_sim"))
 

@@ -379,3 +379,34 @@ def test_hyperplane_sql_and_loop_tiers_identical(spark):
             emb, 32, 4, 16, "vec_id", "embedding", engine=eng)
         got[eng] = sorted((r.k, r.band, r.bucket) for r in b.collect())
     assert got["sql"] == got["loop"]
+
+
+def test_ivf_assign_engines_identical(spark):
+    """r7 pin: the Arrow scoring tier of ivf_assign must reproduce the
+    expression tier exactly — same rounded sims and argmax winners —
+    including length-mismatched vectors (NULL-poisoned sims); a
+    zero-norm vector must FAIL on both engines (the expression tier
+    raises DIVIDE_BY_ZERO under ANSI mode)."""
+    import random
+
+    import pytest
+
+    from _intelligent_document_ai_for_field_extraction_from_invoices_spark.operators import similarity
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(12)]) for i in range(200)]
+    rows.append((301, [1.0, 2.0]))     # length mismatch vs centroids
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {}
+    for eng in ("sql", "arrow"):
+        got[eng] = sorted(
+            tuple(r) for r in
+            similarity.ivf_assign(emb, 40, engine=eng).collect())
+    assert got["sql"] == got["arrow"]
+
+    zero = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(40)]
+        + [(100, [0.0] * 8)], "vec_id long, embedding array<double>")
+    for eng in ("sql", "arrow"):
+        with pytest.raises(Exception, match="[Dd]ivi"):
+            similarity.ivf_assign(zero, 40, engine=eng).collect()
