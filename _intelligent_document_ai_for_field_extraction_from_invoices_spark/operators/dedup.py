@@ -785,6 +785,30 @@ def simhash_near_dups(df: DataFrame, key: str = "doc_id",
     )
 
 
+def _union_find_min(rows):
+    """Min-root union-find over (a, b) edge rows: returns the parent
+    map and the path-compressing find — the driver-side fixpoint both
+    the early path and the epilogue of connected_components collect
+    into (one implementation so the two stay in sync)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return parent, find
+
+
 def connected_components(pairs: DataFrame, key_a: str = "doc_a",
                          key_b: str = "doc_b", out_key: str = "doc_id",
                          max_iters: int = 25,
@@ -891,22 +915,7 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
         # table. Past the bound (true corpus scale) the contraction loop
         # below runs unchanged; UF_BREAK_MAX = 0 disables both driver
         # paths (tests use it to exercise the distributed tail).
-        parent: dict = {}
-
-        def _find0(x):
-            r = x
-            while parent.setdefault(r, r) != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in edges0.collect():
-            ra, rb = _find0(row[0]), _find0(row[1])
-            if ra != rb:
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra
+        parent, _find0 = _union_find_min(edges0.collect())
         qt = edges0.schema["a"].dataType
         labels = spark.createDataFrame(
             [(x, _find0(x)) for x in list(parent)],
@@ -1016,22 +1025,7 @@ def connected_components(pairs: DataFrame, key_a: str = "doc_a",
             # rounds with one narrow job. sf1 measurement: the 211k-edge
             # quotient after round 1 took 2 more contraction rounds +
             # epilogue (~8 s); the union-find path closes it in <1 s.
-            parent: dict = {}
-
-            def _find(x):
-                r = x
-                while parent.setdefault(r, r) != r:
-                    r = parent[r]
-                while parent[x] != r:  # path compression
-                    parent[x], x = r, parent[x]
-                return r
-
-            for row in contracted.collect():
-                ra, rb = _find(row[0]), _find(row[1])
-                if ra != rb:
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
+            parent, _find = _union_find_min(contracted.collect())
             mapping = [(q, _find(q)) for q in list(parent)]
             mapping = [(q, r) for q, r in mapping if q != r]
             contracted.unpersist()

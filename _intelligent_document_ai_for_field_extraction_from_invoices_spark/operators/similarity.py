@@ -194,7 +194,7 @@ def kmeans_centroids(emb: DataFrame, num_centroids: int = 8, iters: int = 2,
 
 
 def _ivf_scores_arrow(emb: DataFrame, cent_rows, key: str,
-                      vec_col: str) -> DataFrame:
+                      vec_col: str, cent_id_type) -> DataFrame:
     """(key, centroid_id, raw cosine) scored rows as ONE Arrow stage
     (r7 optimization): the centroid table is C-bounded by construction,
     so its rows ship in the task closure and each batch scores against
@@ -211,7 +211,7 @@ def _ivf_scores_arrow(emb: DataFrame, cent_rows, key: str,
 
     kt = emb.schema[key].dataType
     out_t = StructType([StructField("k", kt),
-                        StructField("centroid_id", kt),
+                        StructField("centroid_id", cent_id_type),
                         StructField("_raw", DoubleType())])
     cents = [(cid, [float(x) for x in cv]) for cid, cv in cent_rows]
     cid_list = [cid for cid, _ in cents]
@@ -242,6 +242,8 @@ def _ivf_scores_arrow(emb: DataFrame, cent_rows, key: str,
             valid = np.zeros((n, n_cents), dtype=bool)
             by_len: dict = {}
             for i, v in enumerate(vs):
+                if v is None:
+                    continue  # NULL embedding -> NULL sim row (sql tier)
                 by_len.setdefault(len(v), []).append(i)
             for dim, idxs in by_len.items():
                 if dim not in banks:
@@ -306,7 +308,8 @@ def ivf_assign(emb: DataFrame, num_centroids: int = 8, key: str = "vec_id",
                   if centroids is None and num_centroids >= 32 else "sql")
     if engine == "arrow":
         cent_rows = [(r[0], list(r[1])) for r in cents.collect()]
-        raw = _ivf_scores_arrow(emb, cent_rows, key, vec_col)
+        raw = _ivf_scores_arrow(emb, cent_rows, key, vec_col,
+                                cents.schema["centroid_id"].dataType)
         scored = raw.select(F.col("k").alias(key), "centroid_id",
                             F.round(F.col("_raw"), 6).alias("sim"))
     elif engine == "sql":
@@ -408,8 +411,15 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                            and (row.n or 0) >= 10_000
                            else "join")
     if pair_engine == "grouped":
+        # the join path's INNER equi-join on centroid_id drops NULL-key
+        # rows (vectors no centroid could score, e.g. mismatched dims)
+        # and NULL uvecs never survive the threshold — filter both here
+        # so the grouped stage emits the identical pair set instead of
+        # collecting every unassigned vector into one NULL-key group
         return _grouped_pair_cosines(
-            tagged.select(F.col(key).alias("k"), "uvec", "centroid_id"),
+            tagged.filter(F.col("centroid_id").isNotNull()
+                          & F.col("uvec").isNotNull())
+            .select(F.col(key).alias("k"), "uvec", "centroid_id"),
             ["centroid_id"], threshold, dedup_pairs=False)
     if pair_engine != "join":
         raise ValueError(f"unknown pair_engine: {pair_engine!r}")
@@ -624,9 +634,12 @@ def _grouped_pair_cosines(tagged: DataFrame, group_cols: list[str],
                 continue
             mat = np.asarray([vs[i] for i in idxs], dtype=np.float64)
             acc = np.zeros((m, m), dtype=np.float64)
+            tmp = np.empty((m, m), dtype=np.float64)
             for j in range(mat.shape[1]):
-                col = mat[:, j]
-                acc += np.multiply.outer(col, col)
+                # out= reuses one buffer instead of allocating an m x m
+                # temporary per dimension (identical values/order)
+                np.multiply.outer(mat[:, j], mat[:, j], out=tmp)
+                acc += tmp
             iu, ju = np.triu_indices(m, k=1)
             karr = [ks[i] for i in idxs]
             ka.extend(karr[i] for i in iu)
@@ -713,6 +726,11 @@ def hyperplane_banded_buckets(emb: DataFrame, num_planes: int, bands: int,
         # also require an explicit dim at the API boundary)
         mat = np.zeros((len(vs), dim), dtype=np.float64)
         for i, v in enumerate(vs):
+            if v is None:
+                # the sql tier coalesces every element of a NULL cell to
+                # 0.0 and buckets the row like a zero vector — keep the
+                # row as the zero-filled default instead of crashing
+                continue
             a = np.asarray(v, dtype=np.float64)
             n = min(a.shape[0], dim)
             mat[i, :n] = a[:n]
@@ -814,6 +832,11 @@ def hyperplane_lsh_pairs(emb: DataFrame, threshold: float = 0.40,
     if pair_engine == "grouped":
         tagged = capped.join(unit.withColumnRenamed(key, "k"), "k") \
             if key != "k" else capped.join(unit, "k")
+        # NULL uvecs (a NULL embedding survives _unit_vectors as NULL)
+        # contribute no surviving pair on the join path (NULL-poisoned
+        # dots fail the threshold); drop them here so the grouped stage
+        # matches exactly instead of crashing on len(None)
+        tagged = tagged.filter(F.col("uvec").isNotNull())
         return _grouped_pair_cosines(tagged, ["band", "bucket"], threshold)
     if pair_engine != "join":
         raise ValueError(f"unknown pair_engine: {pair_engine!r}")

@@ -332,6 +332,7 @@ def test_pair_engines_bit_identical(spark):
             rows.append((1000 + i,
                          [x + rng.uniform(-0.05, 0.05) for x in base]))
     rows.append((5000, [1.0, 2.0]))  # short vector: mixed-dim corpus
+    rows.append((5001, None))          # NULL embedding: engines must agree
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
     def run(fn, pe):
@@ -372,6 +373,7 @@ def test_hyperplane_sql_and_loop_tiers_identical(spark):
     rows.append((50_000, [0.0] * 16))                    # exact-zero dots
     rows.append((50_001, [1.0, -1.0] * 8))
     rows.append((50_002, [0.5, 0.25]))                   # short: zero-pad
+    rows.append((50_003, None))  # NULL cell: sql coalesces to the zero row
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {}
     for eng in ("sql", "loop"):
@@ -396,6 +398,7 @@ def test_ivf_assign_engines_identical(spark):
     rng = random.Random(3)
     rows = [(i, [rng.uniform(-1, 1) for _ in range(12)]) for i in range(200)]
     rows.append((301, [1.0, 2.0]))     # length mismatch vs centroids
+    rows.append((302, None))           # NULL embedding -> NULL sim row
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {}
     for eng in ("sql", "arrow"):
